@@ -1,0 +1,182 @@
+"""Frozen dataclass configuration tree.
+
+TPU-native replacement for the reference's flat constants module
+(``/root/reference/A000_CONFIG.py:6-78``): instead of a mutable module holding live
+``nn.Module`` objects and Windows paths, the configuration is an immutable, hashable
+dataclass tree that can be closed over by ``jax.jit`` and overridden from the CLI.
+
+The default values reproduce the reference's training configuration exactly
+(``A000_CONFIG.py:19-69``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model shape hyper-parameters (reference ``A000_CONFIG.py:54-69``)."""
+
+    window_size: Tuple[int, int] = (7, 7)
+    merging_size: Tuple[int, int] = (2, 2)
+    in_dims_list: Tuple[int, ...] = (1, 24, 48, 96, 192)
+    out_dims_list: Tuple[int, ...] = (24, 48, 96, 192, 384)
+    att_num_heads: int = 8
+    att_dims_per_head_ratio: float = 1 / 8
+    attention_drop_ratio: float = 0.0
+    linear_after_att_drop_ratio: float = 0.0
+    mlp_hidden_dims_ratio: int = 4
+    mlp_activation: str = "elu"  # enum name instead of a live nn.ELU instance
+    mlp_drop_ratio: float = 0.0
+    final_conv_layer_kernel_size: int = 3
+    use_qkv_bias: bool = True
+    # Compute dtype for the hot path. Params are always fp32; "bfloat16" enables the
+    # MXU-native mixed-precision path, "float32" is the parity mode.
+    compute_dtype: str = "float32"
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.in_dims_list)
+
+    def dims_per_head(self, stage_dims: int) -> int:
+        import math
+
+        return math.floor(stage_dims * self.att_dims_per_head_ratio)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss switches & weights (reference ``A000_CONFIG.py:32-52``)."""
+
+    choose_ms_ssim: bool = True
+    fus_ir_ssim_weight: float = 0.2
+    choose_canny_else_sobel: bool = False
+    use_psnr: bool = False
+    fus_ir_psnr_weight: float = 0.4
+    ssim_scale: float = 0.305
+    texture_scale: float = 250.0
+    intensity_scale: float = 45.0
+    psnr_scale: float = 0.0
+    ssim_loss_ratio: float = 1 / 3
+    texture_loss_ratio: float = 1 / 3
+    intensity_loss_ratio: float = 1 / 3
+    psnr_loss_ratio: float = 0.0
+    ssim_window_size: int = 11  # single-scale SSIM window (a008_loss.py:27)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimiser / schedule (reference ``A000_CONFIG.py:19-26``, ``a016_train.py:67-72``)."""
+
+    lr: float = 1e-2
+    minimum_lr: float = 1e-5
+    scheduler_t0: int = 20  # cosine warm-restart period, in epochs
+    epochs: int = 20
+    batch_size: int = 20
+    training_set_ratio: float = 0.99
+    drop_last: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and augmentation (reference ``A000_CONFIG.py:15-17``, ``a015_dataset.py``)."""
+
+    training_dataset_folder: str = "./data/train"
+    test_dataset_folder: str = "./test/input"
+    test_result_folder: str = "./test/output"
+    crop_size: Tuple[int, int] = (224, 224)
+    hflip_prob: float = 0.5
+    # torchvision RandomResizedCrop defaults, reproduced for the paired augmentation
+    crop_scale: Tuple[float, float] = (0.08, 1.0)
+    crop_ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+    prefetch_depth: int = 2  # device_put double-buffering depth
+
+
+@dataclass(frozen=True)
+class LogConfig:
+    """Logging / checkpoint cadence (reference ``A000_CONFIG.py:8-13, 28-30, 71-74``)."""
+
+    use_saved_state: bool = False
+    using_state_path: str = ""
+    save_model_to_folder: str = "./checkpoints"
+    save_vali_results_to_folder: str = "./vali_results"
+    print_training_info_in_iters: int = 5
+    vali_interval_in_iters: int = 100
+    save_model_interval_in_epochs: int = 1
+    tensorboard_log_dir: str = ""  # empty -> runs/<timestamp>
+    tensorboard_flush_interval_secs: int = 60
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Parallelism layout. Net-new capability vs the single-device reference (SURVEY.md §2)."""
+
+    data_axis: str = "data"
+    # spatial sharding of H across chips for high-res tiled fusion ("space" axis)
+    space_axis: str = "space"
+    num_data: int = 0  # 0 -> use all available devices on a 1-D data mesh
+    num_space: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    epsilon: float = 1e-10  # A000_CONFIG.py:78
+    seed: int = 0
+
+
+def _apply_override(cfg, dotted_key: str, raw_value: str):
+    """Apply one ``section.key=value`` override, returning a new frozen config."""
+    parts = dotted_key.split(".")
+    if len(parts) == 1:
+        section, key = None, parts[0]
+    elif len(parts) == 2:
+        section, key = parts
+    else:
+        raise ValueError(f"override key too deep: {dotted_key}")
+
+    def parse(value: str, current):
+        import ast
+
+        if isinstance(current, bool):
+            return value.lower() in ("1", "true", "yes")
+        if isinstance(current, str):
+            return value
+        try:
+            return type(current)(ast.literal_eval(value))
+        except (ValueError, SyntaxError):
+            return value
+
+    if section is None:
+        current = getattr(cfg, key)
+        return dataclasses.replace(cfg, **{key: parse(raw_value, current)})
+    sub = getattr(cfg, section)
+    current = getattr(sub, key)
+    new_sub = dataclasses.replace(sub, **{key: parse(raw_value, current)})
+    return dataclasses.replace(cfg, **{section: new_sub})
+
+
+def config_from_cli(argv=None, base: Config | None = None) -> Config:
+    """Build a Config from ``section.key=value`` CLI arguments.
+
+    The reference has no CLI at all (config is edited in place, SURVEY.md §1); this is the
+    replacement flag system: ``python -m swin_unet_image_fusion_tpu.train optim.lr=1e-3``.
+    """
+    import sys
+
+    cfg = base or Config()
+    args = list(sys.argv[1:] if argv is None else argv)
+    for arg in args:
+        if "=" not in arg:
+            raise ValueError(f"expected key=value override, got: {arg}")
+        key, value = arg.split("=", 1)
+        cfg = _apply_override(cfg, key, value)
+    return cfg

@@ -1,0 +1,412 @@
+"""Dual-stream building blocks (flax, NHWC, stream-stacked parameters).
+
+The reference duplicates every per-stream module as two independent PyTorch submodules
+(``window_attention_x`` / ``window_attention_y``, ``mlp_x_*`` / ``mlp_y_*``, two
+LayerNorms — ``/root/reference/a002_AutoPathWinAtt.py:33-56``,
+``a003_AutoPathMLP.py:21-44``, ``a004_AddAndLayerNormWithOtherModule.py:16-18``).
+
+Here both modality streams live on a leading stacked axis S (normally 2) of a single
+array ``(S, B, H, W, C)``, and every per-stream layer holds its weights stacked on the
+same leading axis. One batched einsum then computes both streams on the MXU at once —
+identical semantics (independent weights per stream), half the module tree, and the
+cross-attention qkv swap of the reference (``a002_AutoPathWinAtt.py:67-73``) becomes a
+flip of the stream axis.
+
+Numerics parity notes:
+- LayerNorm: trailing-channel, eps 1e-5, biased variance (torch semantics), computed in
+  fp32 regardless of the compute dtype.
+- scores are *set* to -1e10 under the shift mask (not additively masked).
+- the relative-position bias table is 2-D and shared across heads (a001:72-82).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.window import (
+    apply_shift_mask,
+    cyclic_shift,
+    gather_relative_position_bias,
+    shift_attention_mask,
+    window_partition,
+    window_unpartition,
+)
+
+# torch nn.init.kaiming_normal_ (a=0, fan_in, leaky_relu) == variance_scaling(2, fan_in, normal)
+# reference a016_train.py:382-390
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name == "elu":
+        return jax.nn.elu  # torch nn.ELU(alpha=1) parity (A000_CONFIG.py:64)
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation: {name}")
+
+
+class StackedDense(nn.Module):
+    """Per-stream dense layer: kernel (S, in, out), applied as one batched einsum.
+
+    Replaces the reference's per-stream ``nn.Linear`` / 1x1 ``nn.Conv2d`` pairs.
+    """
+
+    streams: int
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal, (self.streams, in_dim, self.features), jnp.float32
+        )
+        y = jnp.einsum(
+            "s...i,sio->s...o",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.streams, self.features), jnp.float32
+            )
+            bias = bias.reshape((self.streams,) + (1,) * (x.ndim - 2) + (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class StackedLayerNorm(nn.Module):
+    """Per-stream LayerNorm over the trailing channel axis (torch semantics, fp32)."""
+
+    streams: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (self.streams, c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.streams, c), jnp.float32)
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)  # biased, like torch LayerNorm
+        xn = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        shape = (self.streams,) + (1,) * (x.ndim - 2) + (c,)
+        out = xn * scale.reshape(shape) + bias.reshape(shape)
+        return out.astype(orig_dtype)
+
+
+class DualWindowAttention(nn.Module):
+    """Swin W-MSA / SW-MSA on both streams at once (reference a001_WindowAttention.py).
+
+    Input/output: (S, B, H, W, C) NHWC. H and W must divide the window size (the static
+    shape plan guarantees this). ``cross=True`` swaps k/v sources across streams
+    (a002_AutoPathWinAtt.py:67-73): stream s queries with its own features and attends
+    into the other stream's keys/values, using stream s's weights.
+    """
+
+    streams: int
+    dims: int
+    num_heads: int
+    dims_per_head: int
+    window_size: Tuple[int, int]
+    shift: bool
+    cross: bool
+    use_qkv_bias: bool = True
+    attention_drop_ratio: float = 0.0
+    proj_drop_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        s, b, h, w, c = x.shape
+        wh, ww = self.window_size
+        t = wh * ww
+        inner = self.num_heads * self.dims_per_head
+
+        if self.shift:
+            x = cyclic_shift(x, self.window_size, reverse=False)
+
+        kv_src = jnp.flip(x, axis=0) if self.cross else x
+
+        xw = window_partition(x, self.window_size)  # (S, Bw, T, C)
+        kvw = window_partition(kv_src, self.window_size) if self.cross else xw
+
+        q = StackedDense(self.streams, inner, self.use_qkv_bias, self.dtype, name="q")(xw)
+        k = StackedDense(self.streams, inner, self.use_qkv_bias, self.dtype, name="k")(kvw)
+        v = StackedDense(self.streams, inner, self.use_qkv_bias, self.dtype, name="v")(kvw)
+
+        bw = q.shape[1]
+
+        def split_heads(a):
+            return a.reshape(s, bw, t, self.num_heads, self.dims_per_head).transpose(
+                0, 1, 3, 2, 4
+            )  # (S, Bw, H, T, D)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        # scores in fp32 for a numerically stable softmax even under bf16 compute
+        scores = jnp.einsum(
+            "sbhtd,sbhud->sbhtu", q, k, preferred_element_type=jnp.float32
+        ) * (self.dims_per_head**-0.5)
+
+        # 2-D table shared across heads, randn init (a001:72-82); one table per stream
+        table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.normal(stddev=1.0),
+            (self.streams, 2 * wh - 1, 2 * ww - 1),
+            jnp.float32,
+        )
+        bias = gather_relative_position_bias(table, self.window_size)  # (S, T, T)
+        scores = scores + bias[:, None, None, :, :]
+
+        if self.shift:
+            mask = shift_attention_mask((h, w), self.window_size)
+            scores = apply_shift_mask(scores, mask)
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        weights = nn.Dropout(self.attention_drop_ratio)(weights, deterministic=deterministic)
+
+        out = jnp.einsum(
+            "sbhtu,sbhud->sbhtd",
+            weights.astype(self.dtype),
+            v,
+            preferred_element_type=self.dtype,
+        )
+        out = out.transpose(0, 1, 3, 2, 4).reshape(s, bw, t, inner)
+        out = StackedDense(self.streams, self.dims, True, self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop_ratio)(out, deterministic=deterministic)
+
+        out = window_unpartition(out, self.window_size, (h, w))  # (S, B, H, W, C)
+
+        if self.shift:
+            out = cyclic_shift(out, self.window_size, reverse=True)
+        return out
+
+
+class DualMLP(nn.Module):
+    """Per-stream 2-layer MLP (reference a003_AutoPathMLP.py: 1x1 convs on NCHW)."""
+
+    streams: int
+    dims: int
+    hidden_dims: int
+    activation: str = "elu"
+    drop_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        act = activation_fn(self.activation)
+        x = StackedDense(self.streams, self.hidden_dims, True, self.dtype, name="fc1")(x)
+        x = act(x)
+        x = nn.Dropout(self.drop_ratio)(x, deterministic=deterministic)
+        x = StackedDense(self.streams, self.dims, True, self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop_ratio)(x, deterministic=deterministic)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Pre-norm transformer block: LN->WinAtt->+res, LN->MLP->+res.
+
+    Reference a005_BasicBlock.py:72-82,127-145 / a004_AddAndLayerNormWithOtherModule.py.
+    """
+
+    streams: int
+    dims: int
+    num_heads: int
+    dims_per_head: int
+    window_size: Tuple[int, int]
+    shift: bool
+    cross: bool
+    mlp_hidden_dims: int
+    activation: str = "elu"
+    use_qkv_bias: bool = True
+    attention_drop_ratio: float = 0.0
+    proj_drop_ratio: float = 0.0
+    mlp_drop_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        shortcut = x
+        x = StackedLayerNorm(self.streams, name="norm1")(x)
+        x = DualWindowAttention(
+            streams=self.streams,
+            dims=self.dims,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            window_size=self.window_size,
+            shift=self.shift,
+            cross=self.cross,
+            use_qkv_bias=self.use_qkv_bias,
+            attention_drop_ratio=self.attention_drop_ratio,
+            proj_drop_ratio=self.proj_drop_ratio,
+            dtype=self.dtype,
+            name="attn",
+        )(x, deterministic=deterministic)
+        x = shortcut + x
+
+        shortcut = x
+        x = StackedLayerNorm(self.streams, name="norm2")(x)
+        x = DualMLP(
+            streams=self.streams,
+            dims=self.dims,
+            hidden_dims=self.mlp_hidden_dims,
+            activation=self.activation,
+            drop_ratio=self.mlp_drop_ratio,
+            dtype=self.dtype,
+            name="mlp",
+        )(x, deterministic=deterministic)
+        return shortcut + x
+
+
+class SelfAndCrossBlockPair(nn.Module):
+    """The per-stage unit: self pair (normal+shift) then cross pair (normal+shift).
+
+    4 BasicBlocks = 8 WindowAttention applications per stage across both streams.
+    Reference a012_SelfAndCrossBlockPair.py:40-68 and a009_NormalAndShiftWinsBlockPair.py.
+    """
+
+    streams: int
+    dims: int
+    num_heads: int
+    dims_per_head: int
+    window_size: Tuple[int, int]
+    mlp_hidden_dims: int
+    activation: str = "elu"
+    use_qkv_bias: bool = True
+    attention_drop_ratio: float = 0.0
+    proj_drop_ratio: float = 0.0
+    mlp_drop_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        common = dict(
+            streams=self.streams,
+            dims=self.dims,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            window_size=self.window_size,
+            mlp_hidden_dims=self.mlp_hidden_dims,
+            activation=self.activation,
+            use_qkv_bias=self.use_qkv_bias,
+            attention_drop_ratio=self.attention_drop_ratio,
+            proj_drop_ratio=self.proj_drop_ratio,
+            mlp_drop_ratio=self.mlp_drop_ratio,
+            dtype=self.dtype,
+        )
+        # self-attention pair: normal then shifted windows
+        x = BasicBlock(shift=False, cross=False, name="self_normal", **common)(
+            x, deterministic=deterministic
+        )
+        x = BasicBlock(shift=True, cross=False, name="self_shift", **common)(
+            x, deterministic=deterministic
+        )
+        # cross-attention pair: normal then shifted windows
+        x = BasicBlock(shift=False, cross=True, name="cross_normal", **common)(
+            x, deterministic=deterministic
+        )
+        x = BasicBlock(shift=True, cross=True, name="cross_shift", **common)(
+            x, deterministic=deterministic
+        )
+        return x
+
+
+class PatchMergeLayer(nn.Module):
+    """Encoder downsample: space-to-depth -> 1x1 linear -> LN -> act.
+
+    Reference a011_PatchOperation.py:236-239 (encoder func order).
+    """
+
+    streams: int
+    out_dims: int
+    merging_size: Tuple[int, int]
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.patch import space_to_depth
+
+        x = space_to_depth(x, self.merging_size)
+        x = StackedDense(self.streams, self.out_dims, True, self.dtype, name="linear")(x)
+        x = StackedLayerNorm(self.streams, name="norm")(x)
+        return activation_fn(self.activation)(x)
+
+
+class PatchUnmergeLayer(nn.Module):
+    """Decoder upsample ("anti patch merging"): 1x1 linear to out*ph*pw -> LN ->
+    depth-to-space -> act. Checkerboard-free by construction (no transposed conv).
+
+    Reference a011_PatchOperation.py:241 (decoder func order: linear, LN, unmerge, act).
+    """
+
+    streams: int
+    out_dims: int
+    merging_size: Tuple[int, int]
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.patch import depth_to_space
+
+        ph, pw = self.merging_size
+        x = StackedDense(
+            self.streams, self.out_dims * ph * pw, True, self.dtype, name="linear"
+        )(x)
+        x = StackedLayerNorm(self.streams, name="norm")(x)
+        x = depth_to_space(x, self.merging_size)
+        return activation_fn(self.activation)(x)
+
+
+class FinalHead(nn.Module):
+    """concat(x, y) -> conv3x3(reflect) -> BatchNorm -> act -> conv3x3(reflect) -> 1ch.
+
+    Reference a013_ModelDefinition.py:98-152. Operates on single (non-stacked) NHWC
+    tensors since the streams merge here.
+    """
+
+    kernel_size: int = 3
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = k // 2
+
+        def reflect_conv(x, features, name):
+            x = jnp.pad(
+                x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect"
+            )
+            return nn.Conv(
+                features,
+                (k, k),
+                padding="VALID",
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                name=name,
+            )(x)
+
+        x = reflect_conv(xy, 2, "conv1")
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d default momentum=0.1 -> flax 0.9
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        x = activation_fn(self.activation)(x)
+        return reflect_conv(x, 1, "conv2")

@@ -1,0 +1,126 @@
+"""SwinFusionUNet — 5-stage dual-stream Swin U-Net for IR/visible fusion.
+
+TPU-first re-design of the reference's ``MyModel``
+(``/root/reference/a013_ModelDefinition.py:17-230``):
+
+- both modality streams ride a stacked leading axis (S=2) instead of duplicated module
+  trees; all per-stream weights are stacked (see ``layers.py``);
+- per-stage pad/crop amounts come from the static :func:`make_plan` computed from Python
+  int shapes at trace time — the reference's LIFO recorder stacks dissolve entirely;
+- skip connections are *additive* (``x += history`` — a013:221-224), recorded after every
+  encoder stage except the last (a013:219-220), preserved exactly;
+- decoder stage order mirrors the encoder: blocks -> crop(window pad) -> anti-merge ->
+  crop(merge pad) (a013:311-314 reverses the encoder list);
+- decoder MLP hidden dims use ``in_dims_list[k] * ratio`` while the block dims are
+  ``out_dims_list[k]`` — a reference quirk preserved (a013:196).
+
+Layout: NHWC. Inputs ir/vis are (B, H, W, 1); output fused image is (B, H, W, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.patch import crop_bottom_right, pad_reflect_bottom_right
+from ..ops.shape_plan import make_plan
+from .layers import (
+    FinalHead,
+    PatchMergeLayer,
+    PatchUnmergeLayer,
+    SelfAndCrossBlockPair,
+)
+
+STREAMS = 2  # dual path: (x=ir, y=vis_Y)
+
+
+class SwinFusionUNet(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, ir: jnp.ndarray, vis: jnp.ndarray, *, train: bool = False
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        n = cfg.num_stages
+        b, h, w, _ = ir.shape
+        plan = make_plan(h, w, n, cfg.merging_size, cfg.window_size)
+
+        deterministic = not train
+
+        def stage_blocks(k: int, role: str) -> SelfAndCrossBlockPair:
+            dims = cfg.out_dims_list[k]
+            # decoder quirk: mlp hidden follows the *output* dims of the decoder stage
+            # (= in_dims_list[k]) — reference a013_ModelDefinition.py:196
+            mlp_hidden = (
+                cfg.out_dims_list[k] * cfg.mlp_hidden_dims_ratio
+                if role == "enc"
+                else cfg.in_dims_list[k] * cfg.mlp_hidden_dims_ratio
+            )
+            return SelfAndCrossBlockPair(
+                streams=STREAMS,
+                dims=dims,
+                num_heads=cfg.att_num_heads,
+                dims_per_head=cfg.dims_per_head(dims),
+                window_size=cfg.window_size,
+                mlp_hidden_dims=mlp_hidden,
+                activation=cfg.mlp_activation,
+                use_qkv_bias=cfg.use_qkv_bias,
+                attention_drop_ratio=cfg.attention_drop_ratio,
+                proj_drop_ratio=cfg.linear_after_att_drop_ratio,
+                mlp_drop_ratio=cfg.mlp_drop_ratio,
+                dtype=dtype,
+                name=f"{role}{k}_blocks",
+            )
+
+        x = jnp.stack([ir, vis], axis=0).astype(dtype)  # (S, B, H, W, 1)
+
+        # ---------------- encoder ----------------
+        skips = []
+        for k in range(n):
+            p = plan[k]
+            x = pad_reflect_bottom_right(x, p.pad_merge)
+            x = PatchMergeLayer(
+                streams=STREAMS,
+                out_dims=cfg.out_dims_list[k],
+                merging_size=cfg.merging_size,
+                activation=cfg.mlp_activation,
+                dtype=dtype,
+                name=f"enc{k}_merge",
+            )(x)
+            x = pad_reflect_bottom_right(x, p.pad_win)
+            x = stage_blocks(k, "enc")(x, deterministic=deterministic)
+            if k < n - 1:
+                skips.append(x)  # a013:219-220 — all but the last stage
+
+        # ---------------- decoder ----------------
+        for j in range(n):
+            k = n - 1 - j  # mirrored encoder stage
+            if j > 0:
+                x = x + skips.pop()  # additive skips, LIFO — a013:221-224
+            p = plan[k]
+            x = stage_blocks(k, "dec")(x, deterministic=deterministic)
+            x = crop_bottom_right(x, p.pad_win)
+            x = PatchUnmergeLayer(
+                streams=STREAMS,
+                out_dims=cfg.in_dims_list[k],
+                merging_size=cfg.merging_size,
+                activation=cfg.mlp_activation,
+                dtype=dtype,
+                name=f"dec{k}_unmerge",
+            )(x)
+            x = crop_bottom_right(x, p.pad_merge)
+
+        # ---------------- final head ----------------
+        xy = jnp.concatenate([x[0], x[1]], axis=-1)  # (B, H, W, 2): [x_stream, y_stream]
+        out = FinalHead(
+            kernel_size=cfg.final_conv_layer_kernel_size,
+            activation=cfg.mlp_activation,
+            dtype=dtype,
+            name="final_head",
+        )(xy, train=train)
+        return out.astype(jnp.float32)

@@ -1,0 +1,194 @@
+"""SSIM / MS-SSIM in pure jnp (kornia-parity, differentiable, fuses into the train step).
+
+The reference's SSIM term (``/root/reference/a008_loss.py:89-131``) calls either
+``kornia.losses.MS_SSIMLoss()`` (default, ``A000_CONFIG.py:34``) or
+``2 * kornia.losses.ssim_loss(win=11, max_val=1, padding='same')``.
+
+kornia's ``MS_SSIMLoss`` is the mixed MS-SSIM + Gaussian-weighted-L1 objective of
+Zhao et al., "Loss Functions for Image Restoration With Neural Networks" (TCI 2017):
+per-scale Gaussian filters with sigmas (0.5, 1, 2, 4, 8), luminance from the coarsest
+scale, contrast-structure product across scales, mixed with an L1 term smoothed by the
+largest-sigma Gaussian, scaled by ``compensation=200`` and ``alpha=0.025``. This module
+reimplements that objective in jnp with the same defaults, plus the single-scale
+``ssim_loss`` (Gaussian window, sigma 1.5) used when ``choose_ms_ssim=False``.
+
+Layout: NHWC, single- or multi-channel. All convolutions are depthwise
+(``feature_group_count=C``) so they lower to cheap VPU ops on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_MS_SIGMAS: Tuple[float, ...] = (0.5, 1.0, 2.0, 4.0, 8.0)
+
+
+def gaussian_kernel_1d(size: int, sigma: float) -> np.ndarray:
+    """Normalised 1-D Gaussian, matching kornia/Zhao ``_fspecial_gauss_1d``."""
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(coords**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def gaussian_kernel_2d(size: int, sigma: float) -> np.ndarray:
+    g = gaussian_kernel_1d(size, sigma)
+    return np.outer(g, g)
+
+
+def _depthwise_conv_nhwc(
+    x: jnp.ndarray, kernels: jnp.ndarray, padding: str | Sequence[Tuple[int, int]]
+) -> jnp.ndarray:
+    """Depthwise 2-D conv. x: (B, H, W, C); kernels: (kh, kw, C, mult) HWIO.
+
+    Returns (B, H', W', C * mult) with per-input-channel outputs grouped contiguously
+    (all multipliers of channel 0, then channel 1, ...), matching torch's grouped-conv
+    channel layout used by the Zhao-loss reference implementation.
+    """
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernels,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out
+
+
+def _pad_zeros(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+
+
+@functools.lru_cache(maxsize=8)
+def _ms_ssim_kernels(num_channels: int, sigmas: Tuple[float, ...]) -> np.ndarray:
+    """(kh, kw, C, n_sigmas) depthwise kernel stack; filter size = 4*max_sigma+1 (=33)."""
+    size = int(4 * sigmas[-1] + 1)
+    ks = np.stack([gaussian_kernel_2d(size, s) for s in sigmas], axis=-1)  # (kh,kw,S)
+    ks = np.repeat(ks[:, :, None, :], num_channels, axis=2)  # (kh,kw,C,S)
+    return ks.astype(np.float32)
+
+
+def ms_ssim_l1_loss(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    *,
+    sigmas: Tuple[float, ...] = DEFAULT_MS_SIGMAS,
+    data_range: float = 1.0,
+    k: Tuple[float, float] = (0.01, 0.03),
+    alpha: float = 0.025,
+    compensation: float = 200.0,
+) -> jnp.ndarray:
+    """kornia ``MS_SSIMLoss`` parity: mixed MS-SSIM + Gaussian-weighted L1 (Zhao et al.).
+
+    img1/img2: (B, H, W, C) in [0, data_range]. Returns the scalar mean loss.
+    """
+    c = img1.shape[-1]
+    n_s = len(sigmas)
+    kernels = jnp.asarray(_ms_ssim_kernels(c, tuple(sigmas)))
+    pad = int(2 * sigmas[-1])
+    c1 = (k[0] * data_range) ** 2
+    c2 = (k[1] * data_range) ** 2
+
+    x = _pad_zeros(img1.astype(jnp.float32), pad)
+    y = _pad_zeros(img2.astype(jnp.float32), pad)
+
+    # all filtered maps: (B, H, W, C*n_s), channel-major grouping (c0s0, c0s1, ..)
+    mux = _depthwise_conv_nhwc(x, kernels, "VALID")
+    muy = _depthwise_conv_nhwc(y, kernels, "VALID")
+    mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
+    sigmax2 = _depthwise_conv_nhwc(x * x, kernels, "VALID") - mux2
+    sigmay2 = _depthwise_conv_nhwc(y * y, kernels, "VALID") - muy2
+    sigmaxy = _depthwise_conv_nhwc(x * y, kernels, "VALID") - muxy
+
+    l_map = (2.0 * muxy + c1) / (mux2 + muy2 + c1)  # luminance per (channel, scale)
+    cs_map = (2.0 * sigmaxy + c2) / (sigmax2 + sigmay2 + c2)
+
+    b, h, w, _ = l_map.shape
+    l_map = l_map.reshape(b, h, w, c, n_s)
+    cs_map = cs_map.reshape(b, h, w, c, n_s)
+
+    # luminance only from the coarsest scale, product over channels
+    lm = jnp.prod(l_map[..., -1], axis=-1)  # (B, H, W)
+    # contrast-structure product over every (channel, scale)
+    pics = jnp.prod(cs_map.reshape(b, h, w, c * n_s), axis=-1)
+    loss_ms_ssim = 1.0 - lm * pics  # (B, H, W)
+
+    # L1 smoothed by the largest-sigma Gaussian, averaged over channels
+    l1 = jnp.abs(img1.astype(jnp.float32) - img2.astype(jnp.float32))
+    largest = kernels[..., -1:]  # (kh, kw, C, 1)
+    gaussian_l1 = _depthwise_conv_nhwc(_pad_zeros(l1, pad), largest, "VALID").mean(-1)
+
+    loss_mix = alpha * loss_ms_ssim + (1.0 - alpha) * gaussian_l1 / data_range
+    return compensation * loss_mix.mean()
+
+
+@functools.lru_cache(maxsize=8)
+def _ssim_kernel(num_channels: int, window_size: int, sigma: float) -> np.ndarray:
+    k2 = gaussian_kernel_2d(window_size, sigma)
+    return np.repeat(k2[:, :, None, None], num_channels, axis=2).astype(np.float32)
+
+
+def ssim_index(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    *,
+    window_size: int = 11,
+    max_val: float = 1.0,
+    sigma: float = 1.5,
+    k: Tuple[float, float] = (0.01, 0.03),
+    padding: str = "same",
+) -> jnp.ndarray:
+    """Per-pixel SSIM map, kornia ``kornia.metrics.ssim`` parity (Gaussian window).
+
+    ``padding='same'`` zero-pads so the map keeps the input resolution (kornia pads the
+    *inputs* with zeros before the valid conv).
+    """
+    c = img1.shape[-1]
+    kernel = jnp.asarray(_ssim_kernel(c, window_size, sigma))
+    c1 = (k[0] * max_val) ** 2
+    c2 = (k[1] * max_val) ** 2
+
+    x = img1.astype(jnp.float32)
+    y = img2.astype(jnp.float32)
+    if padding == "same":
+        pad = window_size // 2
+        x, y = _pad_zeros(x, pad), _pad_zeros(y, pad)
+
+    mux = _depthwise_conv_nhwc(x, kernel, "VALID")
+    muy = _depthwise_conv_nhwc(y, kernel, "VALID")
+    mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
+    sigmax2 = _depthwise_conv_nhwc(x * x, kernel, "VALID") - mux2
+    sigmay2 = _depthwise_conv_nhwc(y * y, kernel, "VALID") - muy2
+    sigmaxy = _depthwise_conv_nhwc(x * y, kernel, "VALID") - muxy
+
+    return ((2.0 * muxy + c1) * (2.0 * sigmaxy + c2)) / (
+        (mux2 + muy2 + c1) * (sigmax2 + sigmay2 + c2)
+    )
+
+
+def ssim_loss(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    *,
+    window_size: int = 11,
+    max_val: float = 1.0,
+) -> jnp.ndarray:
+    """kornia ``ssim_loss`` parity: mean of (1 - SSIM) / 2 (a008_loss.py:112-127 doubles it)."""
+    s = ssim_index(img1, img2, window_size=window_size, max_val=max_val)
+    return ((1.0 - s) / 2.0).mean()
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((img1.astype(jnp.float32) - img2.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(max_val**2 / mse)
+
+
+def psnr_loss(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """kornia ``PSNRLoss`` parity: negative PSNR (a008_loss.py:64-73)."""
+    return -psnr(img1, img2, max_val)
