@@ -43,6 +43,12 @@ from ..ops.window import (
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+def matmul_precision(dtype) -> jax.lax.Precision | None:
+    """fp32 compute asks the MXU for full-precision passes (parity with the fp32
+    reference); bf16 compute uses the fast default path."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name == "elu":
         return jax.nn.elu  # torch nn.ELU(alpha=1) parity (A000_CONFIG.py:64)
@@ -75,6 +81,7 @@ class StackedDense(nn.Module):
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             preferred_element_type=self.dtype,
+            precision=matmul_precision(self.dtype),
         )
         if self.use_bias:
             bias = self.param(
@@ -157,7 +164,11 @@ class DualWindowAttention(nn.Module):
 
         # scores in fp32 for a numerically stable softmax even under bf16 compute
         scores = jnp.einsum(
-            "sbhtd,sbhud->sbhtu", q, k, preferred_element_type=jnp.float32
+            "sbhtd,sbhud->sbhtu",
+            q,
+            k,
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(self.dtype),
         ) * (self.dims_per_head**-0.5)
 
         # 2-D table shared across heads, randn init (a001:72-82); one table per stream
@@ -182,6 +193,7 @@ class DualWindowAttention(nn.Module):
             weights.astype(self.dtype),
             v,
             preferred_element_type=self.dtype,
+            precision=matmul_precision(self.dtype),
         )
         out = out.transpose(0, 1, 3, 2, 4).reshape(s, bw, t, inner)
         out = StackedDense(self.streams, self.dims, True, self.dtype, name="proj")(out)
@@ -397,6 +409,7 @@ class FinalHead(nn.Module):
                 padding="VALID",
                 kernel_init=kaiming_normal,
                 dtype=self.dtype,
+                precision=matmul_precision(self.dtype),
                 name=name,
             )(x)
 
