@@ -1,0 +1,40 @@
+"""Device mesh and sharding helpers.
+
+Parallelism is net-new capability versus the single-device reference (SURVEY.md §2:
+zero distributed code, ``A000_CONFIG.py:6`` selects one device). The TPU-native design:
+
+- **Data parallel** over ICI: a 1-D ``Mesh('data')``; the batch axis of every input is
+  sharded, parameters and optimiser state are replicated, and XLA GSPMD inserts the
+  gradient ``psum`` automatically when the train step is jitted with these shardings —
+  the TPU-native equivalent of NCCL all-reduce, no hand-written collectives needed.
+- **Spatial parallel** (high-res tiled fusion): H-axis sharding with ppermute halo
+  exchange, see ``parallel/spatial.py``.
+
+Multi-host slices would add a DCN axis via ``jax.distributed.initialize``; the mesh
+helpers below are agnostic to it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(num_devices: int = 0, axis_name: str = "data", devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices (0 = all)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

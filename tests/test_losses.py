@@ -1,0 +1,106 @@
+"""Loss-stack tests: Sobel vs torch golden conv, SSIM/MS-SSIM properties, total loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swin_unet_image_fusion_tpu.config import LossConfig
+from swin_unet_image_fusion_tpu.losses import (
+    intensity_term,
+    texture_term,
+    total_fusion_loss,
+)
+from swin_unet_image_fusion_tpu.ops.edges import sobel_magnitude
+from swin_unet_image_fusion_tpu.ops.ssim import (
+    ms_ssim_l1_loss,
+    psnr,
+    ssim_index,
+    ssim_loss,
+)
+
+
+def test_sobel_matches_torch_golden(rng):
+    """Golden check against torch's conv2d with kornia's Sobel recipe:
+    replicate pad 1, kernels normalised by abs-sum (/8), sqrt(gx^2+gy^2+1e-6)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.random((2, 1, 16, 20), dtype=np.float32)
+    kx = torch.tensor([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]]) / 8.0
+    ky = kx.T
+    xt = F.pad(torch.from_numpy(x), (1, 1, 1, 1), mode="replicate")
+    gx = F.conv2d(xt, kx[None, None])
+    gy = F.conv2d(xt, ky[None, None])
+    ref = torch.sqrt(gx**2 + gy**2 + 1e-6).numpy()
+
+    ours = sobel_magnitude(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=1e-6
+    )
+
+
+def test_intensity_term_is_l1_to_max(rng):
+    fus = jnp.asarray(rng.random((2, 8, 8, 1), dtype=np.float32))
+    ir = jnp.asarray(rng.random((2, 8, 8, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((2, 8, 8, 1), dtype=np.float32))
+    expected = np.abs(
+        np.asarray(fus) - np.maximum(np.asarray(ir), np.asarray(vis))
+    ).mean()
+    np.testing.assert_allclose(float(intensity_term(fus, ir, vis)), expected, rtol=1e-6)
+
+
+def test_ssim_identity_and_monotonicity(rng):
+    a = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    assert abs(float(ssim_loss(a, a))) < 1e-6
+    near = a + 0.01
+    far = a + 0.3
+    assert float(ssim_loss(a, jnp.clip(near, 0, 1))) < float(
+        ssim_loss(a, jnp.clip(far, 0, 1))
+    )
+    s = ssim_index(a, a)
+    assert s.shape == a.shape  # padding='same' keeps resolution
+
+
+def test_ms_ssim_l1_identity_and_monotonicity(rng):
+    a = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+    assert abs(float(ms_ssim_l1_loss(a, a))) < 1e-4
+    near = jnp.clip(a + 0.02, 0, 1)
+    far = jnp.clip(a + 0.4, 0, 1)
+    assert float(ms_ssim_l1_loss(a, near)) < float(ms_ssim_l1_loss(a, far))
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((1, 8, 8, 1))
+    b = jnp.full((1, 8, 8, 1), 0.1)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+
+
+def test_total_loss_terms_and_gradient(rng):
+    cfg = LossConfig()
+    fus = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+    ir = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+
+    total, terms = total_fusion_loss(cfg, fus, ir, vis)
+    assert set(terms) == {
+        "ssim_loss", "texture_loss", "intensity_loss", "psnr_loss", "total_loss",
+    }
+    # total = mean of the three active terms with ratios 1/3 (a008:264-269)
+    expected = (
+        terms["ssim_loss"] / 3 + terms["texture_loss"] / 3 + terms["intensity_loss"] / 3
+    )
+    np.testing.assert_allclose(float(total), float(expected), rtol=1e-6)
+
+    grad = jax.grad(lambda f: total_fusion_loss(cfg, f, ir, vis)[0])(fus)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).max() > 0
+
+
+def test_texture_term_zero_when_fused_has_max_edges(rng):
+    ir = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    vis = ir * 0.5
+    # fusing the stronger-edged image exactly -> edge(fus) == max(edge_ir, edge_vis)
+    val = float(texture_term(LossConfig(), ir, ir, vis))
+    assert val < 1e-6
