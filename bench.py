@@ -5,10 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): the PyTorch reference on CPU fuses 0.12 pairs/s at 512x512
 (8.31 s/pair, bs=1, fp32, eval). Target: >=2.4 pairs/s on v5e-8, i.e. >=0.3/chip.
 
-The bench runs eval-mode fusion (forward + clamp) at 512x512, batch 8, on whatever
-single accelerator is available, and reports per-chip throughput. Precision mode is
-selectable via BENCH_DTYPE (float32 parity mode by default; bfloat16 for the fast
-MXU path).
+Methodology: the timed region is a single jitted program that chains CHAIN forward
+passes with a data dependency between iterations (the fused output feeds the next
+input), so asynchronous dispatch cannot overlap away real work, and the result is
+materialised on the host inside the timed region. This matters on relayed/virtualised
+TPU runtimes where block_until_ready can return before execution completes.
+
+Env knobs: BENCH_DTYPE (float32|bfloat16), BENCH_BATCH, BENCH_HW, BENCH_CHAIN,
+BENCH_IMPL (jnp|pallas).
 """
 
 import json
@@ -24,38 +28,47 @@ def main():
     from swin_unet_image_fusion_tpu.config import ModelConfig
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
 
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    impl = os.environ.get("BENCH_IMPL", "jnp")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     hw = int(os.environ.get("BENCH_HW", "512"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    chain = int(os.environ.get("BENCH_CHAIN", "4"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    cfg = ModelConfig(compute_dtype=dtype)
+    cfg = ModelConfig(compute_dtype=dtype, attention_impl=impl)
     model = SwinFusionUNet(cfg)
 
     rng = np.random.default_rng(0)
     ir = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
     vis = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
-    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, vis)
 
-    @jax.jit
-    def fuse(variables, ir, vis):
-        return jnp.clip(model.apply(variables, ir, vis, train=False), 0.0, 1.0)
+    def chained(variables, ir, vis):
+        def body(_, carry):
+            a, b = carry
+            fused = jnp.clip(model.apply(variables, a, b, train=False), 0.0, 1.0)
+            return (b, fused)  # data dependency across iterations
+
+        a, b = jax.lax.fori_loop(0, chain, body, (ir, vis))
+        return b.sum()  # scalar -> cheap host materialisation
+
+    fuse = jax.jit(chained)
 
     # warmup / compile
-    fuse(variables, ir, vis).block_until_ready()
+    float(fuse(variables, ir, vis))
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fuse(variables, ir, vis)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fuse(variables, ir, vis))  # float() forces real completion
+        best = min(best, time.perf_counter() - t0)
 
-    pairs_per_sec = batch * iters / dt
+    pairs_per_sec = batch * chain / best
     baseline = 0.12  # reference PyTorch-CPU 512x512 pairs/s (BASELINE.md)
     print(
         json.dumps(
             {
-                "metric": f"fused {hw}x{hw} pairs/sec/chip ({dtype}, bs={batch})",
+                "metric": f"fused {hw}x{hw} pairs/sec/chip ({dtype}, {impl}, bs={batch})",
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / baseline, 2),

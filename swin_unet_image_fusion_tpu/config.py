@@ -36,6 +36,9 @@ class ModelConfig:
     # Compute dtype for the hot path. Params are always fp32; "bfloat16" enables the
     # MXU-native mixed-precision path, "float32" is the parity mode.
     compute_dtype: str = "float32"
+    # Window-attention implementation: "jnp" (XLA-fused composition, differentiable) or
+    # "pallas" (fused TPU kernel, inference path); "pallas_interpret" for CPU tests.
+    attention_impl: str = "jnp"
 
     @property
     def num_stages(self) -> int:

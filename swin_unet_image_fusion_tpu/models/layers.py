@@ -22,7 +22,7 @@ Numerics parity notes:
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,19 +63,31 @@ class StackedDense(nn.Module):
     """Per-stream dense layer: kernel (S, in, out), applied as one batched einsum.
 
     Replaces the reference's per-stream ``nn.Linear`` / 1x1 ``nn.Conv2d`` pairs.
+    Called with ``x=None`` it only declares and returns ``(kernel, bias)`` — used by
+    the fused Pallas attention path, which consumes the raw stacked weights.
     """
 
     streams: int
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    in_features: Optional[int] = None  # required for param-access mode (x=None)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_dim = x.shape[-1]
+    def __call__(self, x: Optional[jnp.ndarray] = None):
+        in_dim = self.in_features if x is None else x.shape[-1]
         kernel = self.param(
             "kernel", kaiming_normal, (self.streams, in_dim, self.features), jnp.float32
         )
+        if x is None:
+            bias = (
+                self.param(
+                    "bias", nn.initializers.zeros, (self.streams, self.features), jnp.float32
+                )
+                if self.use_bias
+                else jnp.zeros((self.streams, self.features), jnp.float32)
+            )
+            return kernel, bias
         y = jnp.einsum(
             "s...i,sio->s...o",
             x.astype(self.dtype),
@@ -133,6 +145,7 @@ class DualWindowAttention(nn.Module):
     attention_drop_ratio: float = 0.0
     proj_drop_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (fused TPU kernel)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -140,6 +153,9 @@ class DualWindowAttention(nn.Module):
         wh, ww = self.window_size
         t = wh * ww
         inner = self.num_heads * self.dims_per_head
+
+        if self.impl.startswith("pallas"):
+            return self._pallas_forward(x)
 
         if self.shift:
             x = cyclic_shift(x, self.window_size, reverse=False)
@@ -205,6 +221,59 @@ class DualWindowAttention(nn.Module):
             out = cyclic_shift(out, self.window_size, reverse=True)
         return out
 
+    def _pallas_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused-kernel path (ops/pallas_attention.py). Inference-only for now: the
+        kernel has no custom VJP yet, training uses the jnp path."""
+        from ..ops.pallas_attention import pallas_window_attention
+
+        if self.attention_drop_ratio or self.proj_drop_ratio:
+            raise NotImplementedError("dropout is not supported in the pallas path")
+
+        s, b, h, w, c = x.shape
+        wh, ww = self.window_size
+        inner = self.num_heads * self.dims_per_head
+
+        # identical param tree to the jnp path
+        wq, bq = StackedDense(
+            self.streams, inner, self.use_qkv_bias, self.dtype, in_features=c, name="q"
+        )()
+        wk, bk = StackedDense(
+            self.streams, inner, self.use_qkv_bias, self.dtype, in_features=c, name="k"
+        )()
+        wv, bv = StackedDense(
+            self.streams, inner, self.use_qkv_bias, self.dtype, in_features=c, name="v"
+        )()
+        wp, bp = StackedDense(
+            self.streams, c, True, self.dtype, in_features=inner, name="proj"
+        )()
+        table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.normal(stddev=1.0),
+            (self.streams, 2 * wh - 1, 2 * ww - 1),
+            jnp.float32,
+        )
+        bias = gather_relative_position_bias(table, self.window_size)  # (S, T, T)
+
+        if self.shift:
+            x = cyclic_shift(x, self.window_size, reverse=False)
+            mask = shift_attention_mask((h, w), self.window_size)
+        else:
+            mask = None
+        kv = jnp.flip(x, axis=0) if self.cross else x
+
+        out = pallas_window_attention(
+            x.astype(self.dtype),
+            kv.astype(self.dtype),
+            wq, bq, wk, bk, wv, bv, wp, bp, bias, mask,
+            window=self.window_size,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            interpret=self.impl == "pallas_interpret",
+        )
+        if self.shift:
+            out = cyclic_shift(out, self.window_size, reverse=True)
+        return out
+
 
 class DualMLP(nn.Module):
     """Per-stream 2-layer MLP (reference a003_AutoPathMLP.py: 1x1 convs on NCHW)."""
@@ -247,6 +316,7 @@ class BasicBlock(nn.Module):
     proj_drop_ratio: float = 0.0
     mlp_drop_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "jnp"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -264,6 +334,7 @@ class BasicBlock(nn.Module):
             attention_drop_ratio=self.attention_drop_ratio,
             proj_drop_ratio=self.proj_drop_ratio,
             dtype=self.dtype,
+            impl=self.impl,
             name="attn",
         )(x, deterministic=deterministic)
         x = shortcut + x
@@ -301,6 +372,7 @@ class SelfAndCrossBlockPair(nn.Module):
     proj_drop_ratio: float = 0.0
     mlp_drop_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "jnp"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -317,6 +389,7 @@ class SelfAndCrossBlockPair(nn.Module):
             proj_drop_ratio=self.proj_drop_ratio,
             mlp_drop_ratio=self.mlp_drop_ratio,
             dtype=self.dtype,
+            impl=self.impl,
         )
         # self-attention pair: normal then shifted windows
         x = BasicBlock(shift=False, cross=False, name="self_normal", **common)(

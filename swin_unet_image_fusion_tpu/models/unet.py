@@ -74,6 +74,7 @@ class SwinFusionUNet(nn.Module):
                 proj_drop_ratio=cfg.linear_after_att_drop_ratio,
                 mlp_drop_ratio=cfg.mlp_drop_ratio,
                 dtype=dtype,
+                impl=cfg.attention_impl,
                 name=f"{role}{k}_blocks",
             )
 
