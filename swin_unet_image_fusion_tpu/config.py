@@ -39,6 +39,10 @@ class ModelConfig:
     # Window-attention implementation: "jnp" (XLA-fused composition, differentiable) or
     # "pallas" (fused TPU kernel, inference path); "pallas_interpret" for CPU tests.
     attention_impl: str = "jnp"
+    # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
+    # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger
+    # batches / resolutions in training.
+    remat: bool = False
 
     @property
     def num_stages(self) -> int:

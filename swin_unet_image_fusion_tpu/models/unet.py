@@ -52,7 +52,15 @@ class SwinFusionUNet(nn.Module):
 
         deterministic = not train
 
-        def stage_blocks(k: int, role: str) -> SelfAndCrossBlockPair:
+        # optional rematerialisation: recompute each stage's 4 blocks on backward
+        # instead of keeping activations (jax.checkpoint / nn.remat)
+        block_cls = (
+            nn.remat(SelfAndCrossBlockPair, static_argnums=(1,))  # `deterministic`
+            if (cfg.remat and train)
+            else SelfAndCrossBlockPair
+        )
+
+        def stage_blocks(k: int, role: str):
             dims = cfg.out_dims_list[k]
             # decoder quirk: mlp hidden follows the *output* dims of the decoder stage
             # (= in_dims_list[k]) — reference a013_ModelDefinition.py:196
@@ -61,7 +69,7 @@ class SwinFusionUNet(nn.Module):
                 if role == "enc"
                 else cfg.in_dims_list[k] * cfg.mlp_hidden_dims_ratio
             )
-            return SelfAndCrossBlockPair(
+            return block_cls(
                 streams=STREAMS,
                 dims=dims,
                 num_heads=cfg.att_num_heads,

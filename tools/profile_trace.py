@@ -1,0 +1,51 @@
+"""Capture a jax.profiler trace of the fusion forward (and optionally a train step).
+
+The reference has no profiling at all (SURVEY.md §5); this wires the TPU-native
+equivalent: a TensorBoard-viewable XPlane trace of the jitted hot path.
+
+Usage:
+    python tools/profile_trace.py [out_dir] [hw] [batch] [dtype]
+    tensorboard --logdir <out_dir>    # "Profile" tab
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
+    hw = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "bfloat16"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    cfg = ModelConfig(compute_dtype=dtype)
+    model = SwinFusionUNet(cfg)
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir[:1], vis[:1])
+
+    fuse = jax.jit(
+        lambda v, a, b: jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0).sum()
+    )
+    float(fuse(variables, ir, vis))  # compile outside the trace
+
+    with jax.profiler.trace(out_dir):
+        for _ in range(3):
+            float(fuse(variables, ir, vis))
+
+    print(f"trace written to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
