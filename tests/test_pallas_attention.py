@@ -49,3 +49,38 @@ def test_pallas_full_model_forward(rng):
     pl_model = SwinFusionUNet(ModelConfig(**base, attention_impl="pallas_interpret"))
     out = pl_model.apply(variables, ir, vis)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("cross", [False, True])
+def test_pallas_custom_vjp_matches_jnp_grads(rng, shift, cross):
+    """Gradients through the fused kernel (custom VJP, recompute-in-backward) must
+    match jax.grad of the jnp composition for inputs AND all parameters."""
+    c, heads, dph = 8, 2, 4
+    h, w = 14, 14
+    x = jnp.asarray(rng.standard_normal((2, 2, h, w, c)).astype(np.float32))
+
+    kwargs = dict(
+        streams=2, dims=c, num_heads=heads, dims_per_head=dph,
+        window_size=(7, 7), shift=shift, cross=cross,
+    )
+    jnp_mod = DualWindowAttention(**kwargs, impl="jnp")
+    variables = jnp_mod.init(jax.random.PRNGKey(0), x)
+    pl_mod = DualWindowAttention(**kwargs, impl="pallas_interpret")
+
+    def loss(mod):
+        def f(params, xx):
+            out = mod.apply({"params": params}, xx)
+            # non-trivial downstream weighting so grads aren't uniform
+            return jnp.sum(out * jnp.cos(xx))
+        return f
+
+    g_ref_p, g_ref_x = jax.grad(loss(jnp_mod), argnums=(0, 1))(variables["params"], x)
+    g_pl_p, g_pl_x = jax.grad(loss(pl_mod), argnums=(0, 1))(variables["params"], x)
+
+    np.testing.assert_allclose(np.asarray(g_pl_x), np.asarray(g_ref_x), atol=3e-5, rtol=1e-3)
+    ref_leaves, ref_tree = jax.tree.flatten(g_ref_p)
+    pl_leaves, pl_tree = jax.tree.flatten(g_pl_p)
+    assert ref_tree == pl_tree
+    for a, b in zip(ref_leaves, pl_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3)
