@@ -86,18 +86,24 @@ def _attention_kernel(
     k = proj(kvw, wk_ref, bk_ref)
     v = proj(kvw, wv_ref, bv_ref)
 
-    def split(a):  # (nW*T, inner) -> (nW, heads, T, d)
-        return a.reshape(n_w, t, num_heads, dims_per_head).transpose(0, 2, 1, 3)
+    # Mosaic tpu.matmul supports at most ONE batch dim: fold (window, head) together.
+    def split(a):  # (nW*T, inner) -> (nW*heads, T, d)
+        return (
+            a.reshape(n_w, t, num_heads, dims_per_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_w * num_heads, t, dims_per_head)
+        )
 
     qh, kh, vh = split(q), split(k), split(v)
 
     scores = jax.lax.dot_general(
         qh,
         kh,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (nW, heads, T, T)
+    ) * scale  # (nW*heads, T, T)
 
+    scores = scores.reshape(n_w, num_heads, t, t)
     scores = scores + bias_ref[0][None, None, :, :].astype(jnp.float32)
 
     if use_mask:
@@ -106,16 +112,20 @@ def _attention_kernel(
             mask[:, None, :, :] != 0, jnp.float32(MASK_FILL_VALUE), scores
         )
 
-    weights = jax.nn.softmax(scores, axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1).reshape(n_w * num_heads, t, t)
 
     av = jax.lax.dot_general(
         weights.astype(dtype),
         vh.astype(dtype),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (nW, heads, T, d)
+    )  # (nW*heads, T, d)
 
-    merged = av.transpose(0, 2, 1, 3).reshape(n_w * t, inner)
+    merged = (
+        av.reshape(n_w, num_heads, t, dims_per_head)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_w * t, inner)
+    )
     out = jax.lax.dot_general(
         merged.astype(dtype),
         wp_ref[0].astype(dtype),
@@ -195,49 +205,65 @@ def _attention_bwd_kernel(
     k = dot(kvw, wk) + bk_ref[0, 0].astype(jnp.float32)
     v = dot(kvw, wv) + bv_ref[0, 0].astype(jnp.float32)
 
-    def split(a):  # (nW*T, inner) -> (nW, heads, T, d)
-        return a.reshape(n_w, t, num_heads, dims_per_head).transpose(0, 2, 1, 3)
+    # Mosaic tpu.matmul supports at most ONE batch dim: fold (window, head) together.
+    def split(a):  # (nW*T, inner) -> (nW*heads, T, d)
+        return (
+            a.reshape(n_w, t, num_heads, dims_per_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_w * num_heads, t, dims_per_head)
+        )
 
     qh, kh, vh = split(q), split(k), split(v)
 
-    def bdot(a, b, contract, batch_dims=((0, 1), (0, 1))):
+    def bdot(a, b, contract):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(contract, batch_dims),
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
-    scores = bdot(qh, kh, ((3,), (3,))) * scale
+    scores = bdot(qh, kh, ((2,), (2,))) * scale  # (nW*heads, T, T)
+    scores = scores.reshape(n_w, num_heads, t, t)
     scores = scores + bias_ref[0][None, None, :, :].astype(jnp.float32)
     if use_mask:
         mask = mask_ref[...]
         scores = jnp.where(
             mask[:, None, :, :] != 0, jnp.float32(MASK_FILL_VALUE), scores
         )
-    p = jax.nn.softmax(scores, axis=-1)  # (nW, heads, T, T)
+    p = jax.nn.softmax(scores, axis=-1).reshape(n_w * num_heads, t, t)
 
-    av = bdot(p, vh, ((3,), (2,)))  # (nW, heads, T, d)
-    merged = av.transpose(0, 2, 1, 3).reshape(n_w * t, inner)
+    av = bdot(p, vh, ((2,), (1,)))  # (nW*heads, T, d)
+    merged = (
+        av.reshape(n_w, num_heads, t, dims_per_head)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_w * t, inner)
+    )
 
     # ---- backward ----
     g_merged = dot(gw_flat, wp.T)  # (nW*T, inner)
     g_wp = dot(merged.T, gw_flat)  # (inner, C)
     g_bp = gw_flat.sum(axis=0)  # (C,)
 
-    g_av = split(g_merged)  # (nW, heads, T, d)
+    g_av = split(g_merged)  # (nW*heads, T, d)
     # dP = g_av @ v^T ; dV = P^T @ g_av
-    g_p = bdot(g_av, vh, ((3,), (3,)))  # (nW, heads, T, T)
-    g_vh = bdot(p, g_av, ((2,), (2,)))  # (nW, heads, T, d)
+    g_p = bdot(g_av, vh, ((2,), (2,)))  # (nW*heads, T, T)
+    g_vh = bdot(p, g_av, ((1,), (1,)))  # (nW*heads, T, d)
 
     tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
     g_s = p * (g_p - tmp)  # masked entries: p == 0 -> g_s == 0
 
-    g_bias = jnp.sum(g_s, axis=(0, 1))  # (T, T)
+    g_bias = jnp.sum(
+        g_s.reshape(n_w, num_heads, t, t), axis=(0, 1)
+    )  # (T, T)
 
-    g_qh = bdot(g_s, kh, ((3,), (2,))) * scale
-    g_kh = bdot(g_s, qh, ((2,), (2,))) * scale  # sum over T1: g_S^T q
+    g_qh = bdot(g_s, kh, ((2,), (1,))) * scale
+    g_kh = bdot(g_s, qh, ((1,), (1,))) * scale  # sum over T1: g_S^T q
 
-    def unsplit(a):  # (nW, heads, T, d) -> (nW*T, inner)
-        return a.transpose(0, 2, 1, 3).reshape(n_w * t, inner)
+    def unsplit(a):  # (nW*heads, T, d) -> (nW*T, inner)
+        return (
+            a.reshape(n_w, num_heads, t, dims_per_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_w * t, inner)
+        )
 
     g_q, g_k, g_v = unsplit(g_qh), unsplit(g_kh), unsplit(g_vh)
 
