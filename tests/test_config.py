@@ -1,0 +1,52 @@
+"""Config tree and CLI override tests."""
+
+import pytest
+
+from swin_unet_image_fusion_tpu.config import Config, config_from_cli
+
+
+def test_defaults_match_reference():
+    """Defaults must equal the reference A000_CONFIG.py values."""
+    cfg = Config()
+    assert cfg.model.window_size == (7, 7)
+    assert cfg.model.merging_size == (2, 2)
+    assert cfg.model.in_dims_list == (1, 24, 48, 96, 192)
+    assert cfg.model.out_dims_list == (24, 48, 96, 192, 384)
+    assert cfg.model.att_num_heads == 8
+    assert cfg.optim.lr == 1e-2
+    assert cfg.optim.minimum_lr == 1e-5
+    assert cfg.optim.scheduler_t0 == 20
+    assert cfg.optim.batch_size == 20
+    assert cfg.optim.training_set_ratio == 0.99
+    assert cfg.loss.ssim_scale == 0.305
+    assert cfg.loss.texture_scale == 250
+    assert cfg.loss.intensity_scale == 45
+    assert cfg.loss.fus_ir_ssim_weight == 0.2
+    assert cfg.epsilon == 1e-10
+
+
+def test_cli_overrides():
+    cfg = config_from_cli(
+        ["optim.lr=3e-4", "model.compute_dtype=bfloat16", "optim.epochs=7",
+         "data.training_dataset_folder=/tmp/x", "model.remat=true", "seed=5"]
+    )
+    assert cfg.optim.lr == 3e-4
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.optim.epochs == 7
+    assert cfg.data.training_dataset_folder == "/tmp/x"
+    assert cfg.model.remat is True
+    assert cfg.seed == 5
+    # frozen: the original default object is untouched
+    assert Config().optim.lr == 1e-2
+
+
+def test_cli_rejects_garbage():
+    with pytest.raises(ValueError):
+        config_from_cli(["no_equals_sign"])
+    with pytest.raises(ValueError):
+        config_from_cli(["a.b.c.d=1"])
+
+
+def test_dims_per_head_floor():
+    cfg = Config().model
+    assert [cfg.dims_per_head(d) for d in cfg.out_dims_list] == [3, 6, 12, 24, 48]
