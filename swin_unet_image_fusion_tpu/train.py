@@ -211,7 +211,13 @@ class Trainer:
                 f"devices = {self.mesh.size if self.mesh else 1}"
             )
         )
-        for epoch in range(self.current_epoch, cfg.optim.epochs + 1):
+        try:
+            from tqdm import tqdm
+
+            epochs = tqdm(range(self.current_epoch, cfg.optim.epochs + 1), initial=1)
+        except ImportError:  # pragma: no cover
+            epochs = range(self.current_epoch, cfg.optim.epochs + 1)
+        for epoch in epochs:
             self.current_epoch = epoch
             self.train_one_epoch_with_vali()
             if epoch % cfg.log.save_model_interval_in_epochs == 0:
