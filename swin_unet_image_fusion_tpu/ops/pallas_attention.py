@@ -1,25 +1,34 @@
-"""Fused window-attention Pallas TPU kernel.
+"""Fused window-attention Pallas TPU kernel (with custom VJP).
 
-One kernel application computes, for a strip of window rows, the reference's entire
-window-attention pipeline (``/root/reference/a001_WindowAttention.py:448-474``):
-window partition -> q/k/v projections -> scaled scores + relative-position bias
-(+ shift mask) -> softmax -> AV -> output projection -> window un-partition.
+Fuses the reference's attention pipeline (``/root/reference/a001_WindowAttention.py:
+448-474``) — q/k/v projections, scaled scores + relative-position bias (+ shift mask),
+softmax, AV, output projection — into one VMEM-resident kernel per strip of windows.
+The jnp composition (``models/layers.py``) materialises q/k/v and the (nWin, heads, T,
+T) score/softmax tensors in HBM between XLA fusions; at 512² stage 0 those score
+tensors alone are ~0.8 GB per block — this kernel never writes them out.
 
-The jnp composition (``models/layers.py:DualWindowAttention``) materialises the
-partitioned copies and attention intermediates in HBM between XLA fusions; this kernel
-keeps everything for a strip in VMEM: the feature strip is read once and the projected
-strip written once — the layout churn that dominates the reference profile disappears.
+Division of labour (driven by Mosaic's layout rules):
+- the cyclic roll and the window partition stay OUTSIDE (XLA lowers them to cheap
+  copies; re-splitting the W axis inside a kernel is an unsupported vector shape cast);
+- windows are padded from T=49 to T_PAD=56 tokens so every in-kernel reshape
+  merges/splits leading dims on 8-aligned sublane boundaries (Mosaic-supported);
+  the 7 pad tokens are masked out of the softmax;
+- per-head weights arrive pre-split as (S, heads, C, d): the per-head q/k/v matmuls
+  then need no lane slicing, and summed over heads they cost exactly the same FLOPs
+  as one combined projection;
+- Mosaic's tpu.matmul supports at most ONE batch dim: all batched dots use the window
+  tile as the single batch axis.
 
-Grid: (N, nH) where N = streams*batch folds the dual-stream axis and nH is the number
-of window rows. Per-stream weights are stacked on a leading S axis and selected via the
-grid index map (stream = n // batch), so cross/self routing stays a pure data question
-(the caller passes kv = flip(x) for cross attention, exactly like the jnp path).
+Grid: (N, nRows) with N = streams*batch; one step processes one row of windows.
+Per-stream weights are selected via the grid index map (stream = n // batch), so
+self/cross routing stays a data question (caller passes kv = flip(x) for cross).
 
-The cyclic roll stays outside the kernel (XLA lowers jnp.roll to a cheap copy that
-fuses with the surrounding ops); the shift mask arrives as a per-row-strip constant.
+The custom VJP recomputes the strip's forward in VMEM (flash-style — no softmax
+weights stored) and accumulates weight/bias/rel-pos-table grads across the sequential
+grid with first-visit zeroing.
 
-Numerics: matmuls accumulate in fp32 (``preferred_element_type``), softmax in fp32,
-masked scores are *set* to -1e10 (reference a001:310).
+Numerics: matmul accumulation and softmax in fp32; masked scores are *set* to -1e10
+(reference a001:310).
 """
 
 from __future__ import annotations
@@ -33,108 +42,77 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .window import MASK_FILL_VALUE
+from .window import MASK_FILL_VALUE, window_partition, window_unpartition
+
+T_PAD_MULTIPLE = 8  # sublane alignment
 
 
-def _attention_kernel(
-    x_ref,
-    kv_ref,
-    wq_ref,
-    bq_ref,
+def _padded_t(t: int) -> int:
+    return ((t + T_PAD_MULTIPLE - 1) // T_PAD_MULTIPLE) * T_PAD_MULTIPLE
+
+
+def _attention_fwd_kernel(
+    x_ref,       # (1, TILE, TP, C)
+    kv_ref,      # (1, TILE, TP, C)
+    wq_ref,      # (1, heads, C, d)
+    bq_ref,      # (1, heads, 1, d)
     wk_ref,
     bk_ref,
     wv_ref,
     bv_ref,
-    wp_ref,
-    bp_ref,
-    bias_ref,
-    mask_ref,
-    out_ref,
+    wp_ref,      # (1, heads, d, C)
+    bp_ref,      # (1, 1, C)
+    bias_ref,    # (1, TP, TP)
+    mask_ref,    # (TILE or 1, TP, TP) int8  (includes the T-padding mask)
+    out_ref,     # (1, TILE, TP, C)
     *,
-    window: Tuple[int, int],
     num_heads: int,
     dims_per_head: int,
-    use_mask: bool,
+    t_pad: int,
 ):
-    wh, ww = window
-    t = wh * ww
-    _, _, w_len, c = x_ref.shape  # block (1, wh, W, C)
-    n_w = w_len // ww
-    inner = num_heads * dims_per_head
+    _, tile, tp, c = x_ref.shape
     scale = dims_per_head**-0.5
-
-    def to_windows(ref):
-        strip = ref[0]  # (wh, W, C)
-        s = strip.reshape(wh, n_w, ww, c).transpose(1, 0, 2, 3)  # (nW, wh, ww, C)
-        return s.reshape(n_w * t, c)
-
-    xw = to_windows(x_ref)
-    kvw = to_windows(kv_ref)
-
     dtype = x_ref.dtype
 
-    def proj(inp, w_ref, b_ref):
-        y = jax.lax.dot_general(
-            inp,
-            w_ref[0].astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    xw = x_ref[0].reshape(tile * tp, c)     # merge leading dim (tp % 8 == 0: free)
+    kvw = kv_ref[0].reshape(tile * tp, c)
+
+    bias = bias_ref[0].astype(jnp.float32)  # (TP, TP)
+    mask = mask_ref[...]                    # (TILE or 1, TP, TP)
+
+    def mm(a, b):  # (M, K) @ (K, N) on the MXU, fp32 accumulation
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return y + b_ref[0, 0].astype(jnp.float32)  # biases arrive as (1, 1, dim)
 
-    q = proj(xw, wq_ref, bq_ref)  # (nW*T, inner) fp32
-    k = proj(kvw, wk_ref, bk_ref)
-    v = proj(kvw, wv_ref, bv_ref)
-
-    # Mosaic tpu.matmul supports at most ONE batch dim: fold (window, head) together.
-    def split(a):  # (nW*T, inner) -> (nW*heads, T, d)
-        return (
-            a.reshape(n_w, t, num_heads, dims_per_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_w * num_heads, t, dims_per_head)
+    def bmm(a, b, contract):  # single-batch-dim dot
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
-    qh, kh, vh = split(q), split(k), split(v)
+    acc = jnp.zeros((tile * tp, c), jnp.float32)
+    for h in range(num_heads):
+        q = mm(xw, wq_ref[0, h].astype(dtype)) + bq_ref[0, h, 0].astype(jnp.float32)
+        k = mm(kvw, wk_ref[0, h].astype(dtype)) + bk_ref[0, h, 0].astype(jnp.float32)
+        v = mm(kvw, wv_ref[0, h].astype(dtype)) + bv_ref[0, h, 0].astype(jnp.float32)
+        q = q.reshape(tile, tp, dims_per_head)
+        k = k.reshape(tile, tp, dims_per_head)
+        v = v.reshape(tile, tp, dims_per_head)
 
-    scores = jax.lax.dot_general(
-        qh,
-        kh,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (nW*heads, T, T)
+        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]      # (TILE, TP, TP)
+        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+        p = jax.nn.softmax(s, axis=-1)
 
-    scores = scores.reshape(n_w, num_heads, t, t)
-    scores = scores + bias_ref[0][None, None, :, :].astype(jnp.float32)
-
-    if use_mask:
-        mask = mask_ref[...]  # (nW, T, T) int8/bool
-        scores = jnp.where(
-            mask[:, None, :, :] != 0, jnp.float32(MASK_FILL_VALUE), scores
+        av = bmm(p.astype(dtype), v.astype(dtype), ((2,), (1,)))  # (TILE, TP, d)
+        acc = acc + mm(
+            av.reshape(tile * tp, dims_per_head).astype(dtype),
+            wp_ref[0, h].astype(dtype),
         )
 
-    weights = jax.nn.softmax(scores, axis=-1).reshape(n_w * num_heads, t, t)
-
-    av = jax.lax.dot_general(
-        weights.astype(dtype),
-        vh.astype(dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (nW*heads, T, d)
-
-    merged = (
-        av.reshape(n_w, num_heads, t, dims_per_head)
-        .transpose(0, 2, 1, 3)
-        .reshape(n_w * t, inner)
-    )
-    out = jax.lax.dot_general(
-        merged.astype(dtype),
-        wp_ref[0].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bp_ref[0, 0].astype(jnp.float32)  # (nW*T, C)
-
-    strip = out.reshape(n_w, wh, ww, c).transpose(1, 0, 2, 3).reshape(1, wh, w_len, c)
-    out_ref[...] = strip.astype(out_ref.dtype)
+    out = acc + bp_ref[0, 0].astype(jnp.float32)
+    out_ref[...] = out.reshape(1, tile, tp, c).astype(out_ref.dtype)
 
 
 def _attention_bwd_kernel(
@@ -163,128 +141,40 @@ def _attention_bwd_kernel(
     gbp_ref,
     gbias_ref,
     *,
-    window: Tuple[int, int],
     num_heads: int,
     dims_per_head: int,
-    use_mask: bool,
+    t_pad: int,
     batch: int,
 ):
-    """Flash-style backward: recompute the strip's forward in VMEM, then produce input
-    grads (per strip) and weight/bias grads (accumulated across the sequential grid).
-    """
-    wh, ww = window
-    t = wh * ww
-    _, _, w_len, c = x_ref.shape
-    n_w = w_len // ww
-    inner = num_heads * dims_per_head
+    """Recompute the strip's forward per head, then accumulate all grads."""
+    _, tile, tp, c = x_ref.shape
     scale = dims_per_head**-0.5
-    dtype = x_ref.dtype
 
-    def to_windows(ref):
-        strip = ref[0]
-        s = strip.reshape(wh, n_w, ww, c).transpose(1, 0, 2, 3)
-        return s.reshape(n_w * t, c)
+    xw = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+    kvw = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+    g = g_ref[0].reshape(tile * tp, c).astype(jnp.float32)
 
-    xw = to_windows(x_ref).astype(jnp.float32)
-    kvw = to_windows(kv_ref).astype(jnp.float32)
-    gw_flat = to_windows(g_ref).astype(jnp.float32)  # (nW*T, C)
+    bias = bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[...]
 
-    def dot(a, b):
+    def mm(a, b):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    wq = wq_ref[0].astype(jnp.float32)
-    wk = wk_ref[0].astype(jnp.float32)
-    wv = wv_ref[0].astype(jnp.float32)
-    wp = wp_ref[0].astype(jnp.float32)
-
-    # ---- recompute forward ----
-    q = dot(xw, wq) + bq_ref[0, 0].astype(jnp.float32)
-    k = dot(kvw, wk) + bk_ref[0, 0].astype(jnp.float32)
-    v = dot(kvw, wv) + bv_ref[0, 0].astype(jnp.float32)
-
-    # Mosaic tpu.matmul supports at most ONE batch dim: fold (window, head) together.
-    def split(a):  # (nW*T, inner) -> (nW*heads, T, d)
-        return (
-            a.reshape(n_w, t, num_heads, dims_per_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_w * num_heads, t, dims_per_head)
+    def mm_tn(a, b):  # a^T @ b for (M, K)->(K, M) style grads
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    qh, kh, vh = split(q), split(k), split(v)
-
-    def bdot(a, b, contract):
+    def bmm(a, b, contract):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
-    scores = bdot(qh, kh, ((2,), (2,))) * scale  # (nW*heads, T, T)
-    scores = scores.reshape(n_w, num_heads, t, t)
-    scores = scores + bias_ref[0][None, None, :, :].astype(jnp.float32)
-    if use_mask:
-        mask = mask_ref[...]
-        scores = jnp.where(
-            mask[:, None, :, :] != 0, jnp.float32(MASK_FILL_VALUE), scores
-        )
-    p = jax.nn.softmax(scores, axis=-1).reshape(n_w * num_heads, t, t)
-
-    av = bdot(p, vh, ((2,), (1,)))  # (nW*heads, T, d)
-    merged = (
-        av.reshape(n_w, num_heads, t, dims_per_head)
-        .transpose(0, 2, 1, 3)
-        .reshape(n_w * t, inner)
-    )
-
-    # ---- backward ----
-    g_merged = dot(gw_flat, wp.T)  # (nW*T, inner)
-    g_wp = dot(merged.T, gw_flat)  # (inner, C)
-    g_bp = gw_flat.sum(axis=0)  # (C,)
-
-    g_av = split(g_merged)  # (nW*heads, T, d)
-    # dP = g_av @ v^T ; dV = P^T @ g_av
-    g_p = bdot(g_av, vh, ((2,), (2,)))  # (nW*heads, T, T)
-    g_vh = bdot(p, g_av, ((1,), (1,)))  # (nW*heads, T, d)
-
-    tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
-    g_s = p * (g_p - tmp)  # masked entries: p == 0 -> g_s == 0
-
-    g_bias = jnp.sum(
-        g_s.reshape(n_w, num_heads, t, t), axis=(0, 1)
-    )  # (T, T)
-
-    g_qh = bdot(g_s, kh, ((2,), (1,))) * scale
-    g_kh = bdot(g_s, qh, ((1,), (1,))) * scale  # sum over T1: g_S^T q
-
-    def unsplit(a):  # (nW*heads, T, d) -> (nW*T, inner)
-        return (
-            a.reshape(n_w, num_heads, t, dims_per_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_w * t, inner)
-        )
-
-    g_q, g_k, g_v = unsplit(g_qh), unsplit(g_kh), unsplit(g_vh)
-
-    g_xw = dot(g_q, wq.T)
-    g_kvw = dot(g_k, wk.T) + dot(g_v, wv.T)
-
-    g_wq = dot(xw.T, g_q)
-    g_wk = dot(kvw.T, g_k)
-    g_wv = dot(kvw.T, g_v)
-    g_bq, g_bk, g_bv = g_q.sum(axis=0), g_k.sum(axis=0), g_v.sum(axis=0)
-
-    def to_strip(flat):  # (nW*T, C) -> (1, wh, W, C)
-        return (
-            flat.reshape(n_w, wh, ww, c).transpose(1, 0, 2, 3).reshape(1, wh, w_len, c)
-        )
-
-    gx_ref[...] = to_strip(g_xw).astype(gx_ref.dtype)
-    gkv_ref[...] = to_strip(g_kvw).astype(gkv_ref.dtype)
-
-    # accumulate weight grads across the sequential grid; zero on the first visit of
-    # each stream's block (grid order: last dim fastest -> r loops inside n)
     first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(0) % batch == 0)
 
     @pl.when(first)
@@ -299,15 +189,83 @@ def _attention_bwd_kernel(
         gbp_ref[...] = jnp.zeros_like(gbp_ref)
         gbias_ref[...] = jnp.zeros_like(gbias_ref)
 
-    gwq_ref[0] += g_wq
-    gbq_ref[0, 0] += g_bq
-    gwk_ref[0] += g_wk
-    gbk_ref[0, 0] += g_bk
-    gwv_ref[0] += g_wv
-    gbv_ref[0, 0] += g_bv
-    gwp_ref[0] += g_wp
-    gbp_ref[0, 0] += g_bp
-    gbias_ref[0] += g_bias
+    g_x_acc = jnp.zeros((tile * tp, c), jnp.float32)
+    g_kv_acc = jnp.zeros((tile * tp, c), jnp.float32)
+    g_bias_acc = jnp.zeros((tp, tp), jnp.float32)
+
+    for h in range(num_heads):
+        wq = wq_ref[0, h].astype(jnp.float32)
+        wk = wk_ref[0, h].astype(jnp.float32)
+        wv = wv_ref[0, h].astype(jnp.float32)
+        wp = wp_ref[0, h].astype(jnp.float32)
+
+        # recompute forward for this head
+        q2 = mm(xw, wq) + bq_ref[0, h, 0].astype(jnp.float32)
+        k2 = mm(kvw, wk) + bk_ref[0, h, 0].astype(jnp.float32)
+        v2 = mm(kvw, wv) + bv_ref[0, h, 0].astype(jnp.float32)
+        q = q2.reshape(tile, tp, dims_per_head)
+        k = k2.reshape(tile, tp, dims_per_head)
+        v = v2.reshape(tile, tp, dims_per_head)
+
+        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
+        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+        p = jax.nn.softmax(s, axis=-1)  # (TILE, TP, TP)
+        av = bmm(p, v, ((2,), (1,)))  # (TILE, TP, d)
+
+        # backward for this head
+        g_av2 = mm(g, wp.T)  # (tile*tp, d)
+        gwp_ref[0, h] += mm_tn(av.reshape(tile * tp, dims_per_head), g)
+
+        g_av = g_av2.reshape(tile, tp, dims_per_head)
+        g_p = bmm(g_av, v, ((2,), (2,)))      # (TILE, TP, TP)
+        g_v = bmm(p, g_av, ((1,), (1,)))      # (TILE, TP, d)
+
+        tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
+        g_s = p * (g_p - tmp)                 # zero at masked/pad entries (p==0)
+
+        g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
+
+        g_q = bmm(g_s, k, ((2,), (1,))) * scale
+        g_k = bmm(g_s, q, ((1,), (1,))) * scale
+
+        g_q2 = g_q.reshape(tile * tp, dims_per_head)
+        g_k2 = g_k.reshape(tile * tp, dims_per_head)
+        g_v2 = g_v.reshape(tile * tp, dims_per_head)
+
+        g_x_acc = g_x_acc + mm(g_q2, wq.T)
+        g_kv_acc = g_kv_acc + mm(g_k2, wk.T) + mm(g_v2, wv.T)
+
+        gwq_ref[0, h] += mm_tn(xw, g_q2)
+        gwk_ref[0, h] += mm_tn(kvw, g_k2)
+        gwv_ref[0, h] += mm_tn(kvw, g_v2)
+        gbq_ref[0, h, 0] += g_q2.sum(axis=0)
+        gbk_ref[0, h, 0] += g_k2.sum(axis=0)
+        gbv_ref[0, h, 0] += g_v2.sum(axis=0)
+
+    gbp_ref[0, 0] += g.sum(axis=0)
+    gbias_ref[0] += g_bias_acc
+    gx_ref[...] = g_x_acc.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+    gkv_ref[...] = g_kv_acc.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_key_mask(t: int, t_pad: int) -> np.ndarray:
+    """(1, TP, TP) mask hiding the T->T_PAD pad tokens from every window's softmax."""
+    m = np.zeros((1, t_pad, t_pad), np.int8)
+    m[:, :, t:] = 1
+    return m
+
+
+def _full_mask(mask: Optional[np.ndarray], t: int, t_pad: int) -> Tuple[np.ndarray, int]:
+    """Combine the shift mask (nWin, T, T) with the pad mask -> (nWin or 1, TP, TP)."""
+    pad_m = _pad_key_mask(t, t_pad)
+    if mask is None:
+        return pad_m, 1
+    n_win = mask.shape[0]
+    full = np.zeros((n_win, t_pad, t_pad), np.int8)
+    full[:, :t, :t] = mask.astype(np.int8)
+    full |= pad_m
+    return full, n_win
 
 
 def pallas_window_attention(
@@ -331,29 +289,49 @@ def pallas_window_attention(
 ) -> jnp.ndarray:
     """Fused window attention over stacked streams.
 
-    x, kv: (S, B, H, W, C) with H % wh == 0, W % ww == 0 (the static shape plan
-    guarantees this). Weights: wq/wk/wv (S, C, inner), wp (S, inner, C), biases
-    (S, inner) / (S, C); bias (S, T, T) gathered rel-pos bias; mask (nWin, T, T)
-    boolean (or None when not shifted). Returns (S, B, H, W, C).
+    x, kv: (S, B, H, W, C) with H, W divisible by the window (guaranteed by the static
+    shape plan). Weights: wq/wk/wv (S, C, inner), wp (S, inner, C), biases (S, inner) /
+    (S, C); bias: (S, T, T) gathered rel-pos bias; mask: (nWin, T, T) bool shift mask or
+    None. Returns (S, B, H, W, C). Differentiable (custom VJP).
     """
     s, b, h, w, c = x.shape
     wh, ww = window
     t = wh * ww
+    tp = _padded_t(t)
     n_rows = h // wh
     n_w = w // ww
     n = s * b
     inner = num_heads * dims_per_head
+    d = dims_per_head
 
-    if mask is None:
-        mask_arr = jnp.zeros((n_rows * n_w, t, t), jnp.int8)
-        use_mask = False
-    else:
-        mask_arr = jnp.asarray(mask, jnp.int8)
-        use_mask = True
+    mask_np, mask_nwin = _full_mask(mask, t, tp)
+    mask_arr = jnp.asarray(mask_np)
+
+    # rel-pos bias padded to (S, TP, TP)
+    bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
+
+    # per-head weight/bias splits (outside the kernel: no lane slicing inside)
+    def split_heads_w(wmat):  # (S, C, inner) -> (S, heads, C, d)
+        return wmat.reshape(s, c, num_heads, d).transpose(0, 2, 1, 3)
+
+    def split_heads_wp(wmat):  # (S, inner, C) -> (S, heads, d, C)
+        return wmat.reshape(s, num_heads, d, c)
+
+    def split_heads_b(bvec):  # (S, inner) -> (S, heads, 1, d)
+        return bvec.reshape(s, num_heads, 1, d)
+
+    def to_padded_windows(a):  # (S, B, H, W, C) -> (S, B*nRows, nW, TP, C)
+        aw = window_partition(a, window)  # (S, B*nH*nW, T, C)
+        aw = aw.reshape(s, b * n_rows, n_w, t, c)
+        return jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
+
+    def from_padded_windows(aw):  # inverse
+        aw = aw[:, :, :, :t, :].reshape(s, b * n_rows * n_w, t, c)
+        return window_unpartition(aw, window, (h, w))
 
     def feat_spec():
         return pl.BlockSpec(
-            (1, wh, w, c), lambda i, r: (i, r, 0, 0), memory_space=pltpu.VMEM
+            (1, n_w, tp, c), lambda i, r: (i, r, 0, 0), memory_space=pltpu.VMEM
         )
 
     def stream_spec(shape):
@@ -362,104 +340,122 @@ def pallas_window_attention(
             memory_space=pltpu.VMEM,
         )
 
-    def mask_spec():
-        return pl.BlockSpec(
-            (n_w, t, t), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+    if mask_nwin == 1:
+        mask_spec = pl.BlockSpec(
+            (1, tp, tp), lambda i, r: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        mask_spec = pl.BlockSpec(
+            (n_w, tp, tp), lambda i, r: (r % n_rows, 0, 0), memory_space=pltpu.VMEM
         )
 
-    static = dict(
-        window=window,
-        num_heads=num_heads,
-        dims_per_head=dims_per_head,
-        use_mask=use_mask,
-    )
+    static = dict(num_heads=num_heads, dims_per_head=d, t_pad=tp)
+    weight_specs = [
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, d, c)), stream_spec((1, c)),
+        stream_spec((tp, tp)),
+    ]
 
-    def _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias):
-        # Mosaic needs the last two block dims tile-divisible or full; lift (S, dim)
-        # bias vectors to (S, 1, dim) so the per-stream block is (1, 1, dim).
-        bq_, bk_, bv_, bp_ = (a[:, None, :] for a in (bq, bk, bv, bp))
+    def _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+        xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
+        kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
         out = pl.pallas_call(
-            functools.partial(_attention_kernel, **static),
+            functools.partial(_attention_fwd_kernel, **static),
             grid=(n, n_rows),
             in_specs=[
-                feat_spec(), feat_spec(),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((inner, c)), stream_spec((1, c)),
-                stream_spec((t, t)),
-                mask_spec(),
+                pl.BlockSpec((1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *weight_specs,
+                mask_spec,
             ],
-            out_specs=feat_spec(),
-            out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+            out_specs=pl.BlockSpec(
+                (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
             interpret=interpret,
         )(
-            x.reshape(n, h, w, c), kv.reshape(n, h, w, c),
-            wq, bq_, wk, bk_, wv, bv_, wp, bp_, bias, mask_arr,
+            xw, kvw,
+            split_heads_w(wq), split_heads_b(bq),
+            split_heads_w(wk), split_heads_b(bk),
+            split_heads_w(wv), split_heads_b(bv),
+            split_heads_wp(wp), bp[:, None, :], bias_p,
+            mask_arr,
         )
-        return out.reshape(s, b, h, w, c)
+        return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))
 
     def _backward(res, g):
-        x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias = res
-        bq_, bk_, bv_, bp_ = (a[:, None, :] for a in (bq, bk, bv, bp))
+        x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
+        xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
+        kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
+        gw = to_padded_windows(g).reshape(n * n_rows, n_w, tp, c)
         f32 = jnp.float32
+        feat = pl.BlockSpec(
+            (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         outs = pl.pallas_call(
             functools.partial(_attention_bwd_kernel, batch=b, **static),
             grid=(n, n_rows),
-            in_specs=[
-                feat_spec(), feat_spec(),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((inner, c)), stream_spec((1, c)),
-                stream_spec((t, t)),
-                mask_spec(),
-                feat_spec(),
-            ],
+            in_specs=[feat, feat, *weight_specs, mask_spec, feat],
             out_specs=(
-                feat_spec(), feat_spec(),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((c, inner)), stream_spec((1, inner)),
-                stream_spec((inner, c)), stream_spec((1, c)),
-                stream_spec((t, t)),
+                feat, feat,
+                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+                stream_spec((num_heads, d, c)), stream_spec((1, c)),
+                stream_spec((tp, tp)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-                jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-                jax.ShapeDtypeStruct((s, c, inner), f32),
-                jax.ShapeDtypeStruct((s, 1, inner), f32),
-                jax.ShapeDtypeStruct((s, c, inner), f32),
-                jax.ShapeDtypeStruct((s, 1, inner), f32),
-                jax.ShapeDtypeStruct((s, c, inner), f32),
-                jax.ShapeDtypeStruct((s, 1, inner), f32),
-                jax.ShapeDtypeStruct((s, inner, c), f32),
+                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, d, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
-                jax.ShapeDtypeStruct((s, t, t), f32),
+                jax.ShapeDtypeStruct((s, tp, tp), f32),
             ),
             interpret=interpret,
         )(
-            x.reshape(n, h, w, c), kv.reshape(n, h, w, c),
-            wq, bq_, wk, bk_, wv, bv_, wp, bp_, bias, mask_arr,
-            g.reshape(n, h, w, c),
+            xw, kvw,
+            split_heads_w(wq), split_heads_b(bq),
+            split_heads_w(wk), split_heads_b(bk),
+            split_heads_w(wv), split_heads_b(bv),
+            split_heads_wp(wp), bp[:, None, :], bias_p,
+            mask_arr, gw,
         )
         gx, gkv, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias = outs
+
+        def unsplit_w(a):  # (S, heads, C, d) -> (S, C, inner)
+            return a.transpose(0, 2, 1, 3).reshape(s, c, inner)
+
+        gx = from_padded_windows(gx.reshape(s, b * n_rows, n_w, tp, c))
+        gkv = from_padded_windows(gkv.reshape(s, b * n_rows, n_w, tp, c))
         return (
-            gx.reshape(s, b, h, w, c),
-            gkv.reshape(s, b, h, w, c),
-            gwq.astype(wq.dtype), gbq[:, 0].astype(bq.dtype),
-            gwk.astype(wk.dtype), gbk[:, 0].astype(bk.dtype),
-            gwv.astype(wv.dtype), gbv[:, 0].astype(bv.dtype),
-            gwp.astype(wp.dtype), gbp[:, 0].astype(bp.dtype),
-            gbias.astype(bias.dtype),
+            gx, gkv,
+            unsplit_w(gwq).astype(wq.dtype), gbq.reshape(s, inner).astype(bq.dtype),
+            unsplit_w(gwk).astype(wk.dtype), gbk.reshape(s, inner).astype(bk.dtype),
+            unsplit_w(gwv).astype(wv.dtype), gbv.reshape(s, inner).astype(bv.dtype),
+            gwp.reshape(s, inner, c).astype(wp.dtype),
+            gbp[:, 0].astype(bp.dtype),
+            gbias.astype(bias_p.dtype),
         )
 
     @jax.custom_vjp
-    def core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias):
-        return _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias)
+    def core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+        return _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
 
     def core_fwd(*args):
         return _forward(*args), args
 
     core.defvjp(core_fwd, _backward)
-    return core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias)
+    out = core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    return out
