@@ -1,0 +1,56 @@
+"""In-model spatial (H-axis) sharding for exact multi-chip single-image fusion.
+
+Complement to the overlap-tiled path (``tiled.py``): instead of approximating borders,
+the image's H axis is sharded across the mesh and the *unmodified* model runs under
+GSPMD, which inserts the halo exchanges itself — collective-permutes for the cyclic
+roll (``torch.roll`` semantics wrap around the global image, reference
+a001_WindowAttention.py:442-444), neighbour exchanges for the window re-partitions, and
+all-gathers where a stage's padded resolution stops dividing evenly. This is the
+idiomatic JAX realisation of SURVEY.md §5's "spatial sharding + ppermute halo exchange":
+we annotate shardings, XLA derives the collectives.
+
+Exactness: verified equal to the single-device forward within fp32 reduction noise
+(tests/test_spatial_sharding.py). Use tiled fusion when throughput matters more than
+bitwise borders; use this when the result must match single-chip output exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_mesh(num_devices: int = 0, axis_name: str = "space") -> Mesh:
+    devs = list(jax.devices())
+    if num_devices:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def height_sharding(mesh: Mesh, axis_name: str = "space") -> NamedSharding:
+    """Shard (B, H, W, C) inputs along H."""
+    return NamedSharding(mesh, P(None, axis_name, None, None))
+
+
+class SpatialFuser:
+    """Fuse one (possibly huge) pair with H sharded across all chips."""
+
+    def __init__(self, model, variables, mesh: Optional[Mesh] = None, axis_name: str = "space"):
+        import jax.numpy as jnp
+
+        self.mesh = mesh or spatial_mesh()
+        self.sharding = height_sharding(self.mesh, axis_name)
+        self.variables = jax.device_put(variables, NamedSharding(self.mesh, P()))
+        self._forward = jax.jit(
+            lambda v, a, b: jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0),
+            out_shardings=self.sharding,
+        )
+
+    def fuse(self, ir, vis_y):
+        """ir, vis_y: (B, H, W, 1) float [0,1] host or device arrays."""
+        ir = jax.device_put(ir, self.sharding)
+        vis_y = jax.device_put(vis_y, self.sharding)
+        return self._forward(self.variables, ir, vis_y)

@@ -1,0 +1,33 @@
+"""Exact spatial (H-axis) sharding: multi-chip output == single-device output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swin_unet_image_fusion_tpu.config import ModelConfig
+from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+from swin_unet_image_fusion_tpu.parallel.spatial import SpatialFuser, spatial_mesh
+
+TINY = ModelConfig(
+    in_dims_list=(1, 8),
+    out_dims_list=(8, 16),
+    att_num_heads=2,
+    att_dims_per_head_ratio=1 / 2,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+def test_spatial_sharded_forward_matches_single_device(rng):
+    model = SwinFusionUNet(TINY)
+    ir = jnp.asarray(rng.random((1, 112, 84, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((1, 112, 84, 1), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), ir, vis)
+
+    ref = jnp.clip(model.apply(variables, ir, vis), 0, 1)
+
+    fuser = SpatialFuser(model, variables, mesh=spatial_mesh(4))
+    out = fuser.fuse(ir, vis)
+    assert out.sharding.is_equivalent_to(fuser.sharding, out.ndim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
