@@ -105,16 +105,23 @@ class StackedDense(nn.Module):
 
 
 class StackedLayerNorm(nn.Module):
-    """Per-stream LayerNorm over the trailing channel axis (torch semantics, fp32)."""
+    """Per-stream LayerNorm over the trailing channel axis (torch semantics, fp32).
+
+    Called with ``x=None`` (and ``features`` set) it only declares and returns
+    ``(scale, bias)`` — used by the fused Pallas block path.
+    """
 
     streams: int
     epsilon: float = 1e-5
+    features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def __call__(self, x: Optional[jnp.ndarray]) -> jnp.ndarray:
+        c = self.features if x is None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (self.streams, c), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.streams, c), jnp.float32)
+        if x is None:
+            return scale, bias
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
@@ -148,11 +155,22 @@ class DualWindowAttention(nn.Module):
     impl: str = "jnp"  # "jnp" | "pallas" | "pallas_interpret" (fused TPU kernel)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        return_params: bool = False,
+    ) -> jnp.ndarray:
         s, b, h, w, c = x.shape
         wh, ww = self.window_size
         t = wh * ww
         inner = self.num_heads * self.dims_per_head
+
+        if return_params:
+            # declare the identical param tree and hand the raw stacked weights to the
+            # fused Pallas block kernel (models/layers.py::BasicBlock pallas_block path)
+            return self._declare_params(c)
 
         if self.impl.startswith("pallas"):
             return self._pallas_forward(x)
@@ -221,19 +239,10 @@ class DualWindowAttention(nn.Module):
             out = cyclic_shift(out, self.window_size, reverse=True)
         return out
 
-    def _pallas_forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Fused-kernel path (ops/pallas_attention.py). Inference-only for now: the
-        kernel has no custom VJP yet, training uses the jnp path."""
-        from ..ops.pallas_attention import pallas_window_attention
-
-        if self.attention_drop_ratio or self.proj_drop_ratio:
-            raise NotImplementedError("dropout is not supported in the pallas path")
-
-        s, b, h, w, c = x.shape
-        wh, ww = self.window_size
+    def _declare_params(self, c: int):
+        """Declare the identical param tree to the jnp path; return raw weights."""
         inner = self.num_heads * self.dims_per_head
-
-        # identical param tree to the jnp path
+        wh, ww = self.window_size
         wq, bq = StackedDense(
             self.streams, inner, self.use_qkv_bias, self.dtype, in_features=c, name="q"
         )()
@@ -252,7 +261,23 @@ class DualWindowAttention(nn.Module):
             (self.streams, 2 * wh - 1, 2 * ww - 1),
             jnp.float32,
         )
-        bias = gather_relative_position_bias(table, self.window_size)  # (S, T, T)
+        return dict(
+            wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv, wp=wp, bp=bp, table=table
+        )
+
+    def _pallas_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused-kernel path (ops/pallas_attention.py), differentiable (custom VJP)."""
+        from ..ops.pallas_attention import pallas_window_attention
+
+        if self.attention_drop_ratio or self.proj_drop_ratio:
+            raise NotImplementedError("dropout is not supported in the pallas path")
+
+        s, b, h, w, c = x.shape
+
+        p = self._declare_params(c)
+        wq, bq, wk, bk = p["wq"], p["bq"], p["wk"], p["bk"]
+        wv, bv, wp, bp = p["wv"], p["bv"], p["wp"], p["bp"]
+        bias = gather_relative_position_bias(p["table"], self.window_size)  # (S, T, T)
 
         if self.shift:
             x = cyclic_shift(x, self.window_size, reverse=False)
@@ -286,7 +311,23 @@ class DualMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray],
+        *,
+        deterministic: bool = True,
+        return_params: bool = False,
+    ) -> jnp.ndarray:
+        if return_params:
+            w1, b1 = StackedDense(
+                self.streams, self.hidden_dims, True, self.dtype,
+                in_features=self.dims, name="fc1",
+            )()
+            w2, b2 = StackedDense(
+                self.streams, self.dims, True, self.dtype,
+                in_features=self.hidden_dims, name="fc2",
+            )()
+            return dict(w1=w1, b1=b1, w2=w2, b2=b2)
         act = activation_fn(self.activation)
         x = StackedDense(self.streams, self.hidden_dims, True, self.dtype, name="fc1")(x)
         x = act(x)
@@ -320,6 +361,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        if self.impl.startswith("pallas_block"):
+            return self._fused_block_forward(x)
         shortcut = x
         x = StackedLayerNorm(self.streams, name="norm1")(x)
         x = DualWindowAttention(
@@ -351,6 +394,69 @@ class BasicBlock(nn.Module):
             name="mlp",
         )(x, deterministic=deterministic)
         return shortcut + x
+
+    def _fused_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Whole-block fused Pallas kernel (ops/pallas_block.py): LN -> attention ->
+        +res -> LN -> MLP -> +res in one pass. Inference-only (no VJP); declares the
+        identical param tree to the composed path."""
+        from ..ops.pallas_block import pallas_fused_block
+
+        if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:
+            raise NotImplementedError("dropout is not supported in the fused block")
+
+        c = x.shape[-1]
+        ln1_scale, ln1_bias = StackedLayerNorm(
+            self.streams, features=c, name="norm1"
+        )(None)
+        attn_params = DualWindowAttention(
+            streams=self.streams,
+            dims=self.dims,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            window_size=self.window_size,
+            shift=self.shift,
+            cross=self.cross,
+            use_qkv_bias=self.use_qkv_bias,
+            dtype=self.dtype,
+            name="attn",
+        )(x, return_params=True)
+        ln2_scale, ln2_bias = StackedLayerNorm(
+            self.streams, features=c, name="norm2"
+        )(None)
+        mlp_params = DualMLP(
+            streams=self.streams,
+            dims=self.dims,
+            hidden_dims=self.mlp_hidden_dims,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )(None, return_params=True)
+
+        bias = gather_relative_position_bias(attn_params["table"], self.window_size)
+        h, w = x.shape[2], x.shape[3]
+        mask = shift_attention_mask((h, w), self.window_size) if self.shift else None
+
+        return pallas_fused_block(
+            x.astype(self.dtype),
+            cross=self.cross,
+            shift=self.shift,
+            ln1_scale=ln1_scale,
+            ln1_bias=ln1_bias,
+            attn=attn_params,
+            bias=bias,
+            mask=mask,
+            ln2_scale=ln2_scale,
+            ln2_bias=ln2_bias,
+            w1=mlp_params["w1"],
+            b1=mlp_params["b1"],
+            w2=mlp_params["w2"],
+            b2=mlp_params["b2"],
+            window=self.window_size,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            activation=self.activation,
+            interpret=self.impl == "pallas_block_interpret",
+        )
 
 
 class SelfAndCrossBlockPair(nn.Module):

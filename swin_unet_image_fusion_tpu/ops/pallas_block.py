@@ -1,0 +1,265 @@
+"""Fully fused Swin block Pallas kernel: LN -> window attention -> +residual ->
+LN -> MLP -> +residual, one HBM read and one write per strip of windows.
+
+This is the full-fusion variant of ``pallas_attention.py`` — the whole reference
+``BasicBlock`` (``/root/reference/a005_BasicBlock.py:127-145``: two pre-norm residual
+stages, ``a004_AddAndLayerNormWithOtherModule.py``) computes in VMEM. On top of never
+materialising q/k/v/scores, this also keeps the LayerNorm outputs and the 4C-wide MLP
+hidden activations on-chip; the MLP hidden alone is ~8 strip-copies of HBM traffic in
+the composed path.
+
+Cross-attention detail: the reference normalises each stream with its *own* LN before
+the qkv swap (``a004:29-40`` then ``a002:67-73``), so the kernel receives the raw
+flipped stream as kv plus the *other* stream's LN1 weights (selected by the grid index
+map) and re-normalises it in VMEM — a cheap VPU recompute that keeps the kernel
+single-pass.
+
+Inference-only: no custom VJP (training uses ``attention_impl="pallas"`` — the fused
+attention with VJP — or the jnp path). Layout/layering constraints are identical to
+pallas_attention.py (windows pre-partitioned outside, T padded to 56, per-head
+pre-split weights, single-batch-dim dots).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_attention import _full_mask, _padded_t
+from .window import MASK_FILL_VALUE, window_partition, window_unpartition
+
+LN_EPS = 1e-5
+
+
+def _block_fwd_kernel(
+    x_ref,        # (1, TILE, TP, C) raw (rolled, padded-window) stream-s features
+    kv_ref,       # (1, TILE, TP, C) raw features of the kv stream (flip(x) if cross)
+    ln1s_ref,     # (1, 1, C) LN1 scale, stream s
+    ln1b_ref,     # (1, 1, C) LN1 bias, stream s
+    ln1kvs_ref,   # (1, 1, C) LN1 scale of the kv stream
+    ln1kvb_ref,
+    wq_ref,       # (1, heads, C, d)
+    bq_ref,       # (1, heads, 1, d)
+    wk_ref,
+    bk_ref,
+    wv_ref,
+    bv_ref,
+    wp_ref,       # (1, heads, d, C)
+    bp_ref,       # (1, 1, C)
+    bias_ref,     # (1, TP, TP)
+    mask_ref,     # (TILE or 1, TP, TP)
+    ln2s_ref,     # (1, 1, C)
+    ln2b_ref,
+    w1_ref,       # (1, C, Hd)
+    b1_ref,       # (1, 1, Hd)
+    w2_ref,       # (1, Hd, C)
+    b2_ref,       # (1, 1, C)
+    out_ref,      # (1, TILE, TP, C)
+    *,
+    num_heads: int,
+    dims_per_head: int,
+    activation: str,
+):
+    _, tile, tp, c = x_ref.shape
+    scale = dims_per_head**-0.5
+    dtype = x_ref.dtype
+
+    x = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+    kv = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+
+    def layer_norm(a, s_ref, b_ref):
+        mu = jnp.mean(a, axis=-1, keepdims=True)
+        var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+        an = (a - mu) * jax.lax.rsqrt(var + LN_EPS)
+        return an * s_ref[0, 0].astype(jnp.float32) + b_ref[0, 0].astype(jnp.float32)
+
+    ln_x = layer_norm(x, ln1s_ref, ln1b_ref).astype(dtype)
+    ln_kv = layer_norm(kv, ln1kvs_ref, ln1kvb_ref).astype(dtype)
+
+    bias = bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[...]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmm(a, b, contract):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- attention on the normalised features ----
+    acc = jnp.zeros((tile * tp, c), jnp.float32)
+    for h in range(num_heads):
+        q = mm(ln_x, wq_ref[0, h].astype(dtype)) + bq_ref[0, h, 0].astype(jnp.float32)
+        k = mm(ln_kv, wk_ref[0, h].astype(dtype)) + bk_ref[0, h, 0].astype(jnp.float32)
+        v = mm(ln_kv, wv_ref[0, h].astype(dtype)) + bv_ref[0, h, 0].astype(jnp.float32)
+        q = q.reshape(tile, tp, dims_per_head)
+        k = k.reshape(tile, tp, dims_per_head)
+        v = v.reshape(tile, tp, dims_per_head)
+
+        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
+        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+        p = jax.nn.softmax(s, axis=-1)
+
+        av = bmm(p.astype(dtype), v.astype(dtype), ((2,), (1,)))
+        acc = acc + mm(
+            av.reshape(tile * tp, dims_per_head).astype(dtype),
+            wp_ref[0, h].astype(dtype),
+        )
+
+    y = x + acc + bp_ref[0, 0].astype(jnp.float32)  # first residual
+
+    # ---- MLP on the second pre-norm ----
+    ln_y = layer_norm(y, ln2s_ref, ln2b_ref).astype(dtype)
+    hdn = mm(ln_y, w1_ref[0].astype(dtype)) + b1_ref[0, 0].astype(jnp.float32)
+    if activation == "elu":
+        hdn = jax.nn.elu(hdn)
+    elif activation == "relu":
+        hdn = jax.nn.relu(hdn)
+    elif activation == "gelu":
+        hdn = jax.nn.gelu(hdn)
+    else:
+        raise ValueError(activation)
+    m = mm(hdn.astype(dtype), w2_ref[0].astype(dtype)) + b2_ref[0, 0].astype(jnp.float32)
+
+    out = y + m
+    out_ref[...] = out.reshape(1, tile, tp, c).astype(out_ref.dtype)
+
+
+def pallas_fused_block(
+    x: jnp.ndarray,
+    *,
+    cross: bool,
+    shift: bool,
+    ln1_scale: jnp.ndarray,  # (S, C)
+    ln1_bias: jnp.ndarray,
+    attn: dict,  # wq/bq/wk/bk/wv/bv (S,C,inner)/(S,inner), wp (S,inner,C), bp (S,C), table
+    bias: jnp.ndarray,  # gathered rel-pos bias (S, T, T)
+    mask: Optional[np.ndarray],  # (nWin, T, T) or None
+    ln2_scale: jnp.ndarray,
+    ln2_bias: jnp.ndarray,
+    w1: jnp.ndarray,  # (S, C, Hd)
+    b1: jnp.ndarray,  # (S, Hd)
+    w2: jnp.ndarray,  # (S, Hd, C)
+    b2: jnp.ndarray,  # (S, C)
+    window: Tuple[int, int],
+    num_heads: int,
+    dims_per_head: int,
+    activation: str = "elu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused pre-norm Swin block on stacked streams (S, B, H, W, C) -> same."""
+    s, b, h, w, c = x.shape
+    wh, ww = window
+    t = wh * ww
+    tp = _padded_t(t)
+    n_rows = h // wh
+    n_w = w // ww
+    n = s * b
+    d = dims_per_head
+    hd = w1.shape[-1]
+
+    from .window import cyclic_shift
+
+    if shift:
+        x = cyclic_shift(x, window, reverse=False)
+    kv = jnp.flip(x, axis=0) if cross else x
+
+    mask_np, mask_nwin = _full_mask(mask, t, tp)
+    mask_arr = jnp.asarray(mask_np)
+    bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
+
+    def split_heads_w(wmat):
+        return wmat.reshape(s, c, num_heads, d).transpose(0, 2, 1, 3)
+
+    def split_heads_wp(wmat):
+        return wmat.reshape(s, num_heads, d, c)
+
+    def split_heads_b(bvec):
+        return bvec.reshape(s, num_heads, 1, d)
+
+    def to_padded_windows(a):
+        aw = window_partition(a, window)
+        aw = aw.reshape(s, b * n_rows, n_w, t, c)
+        return jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
+
+    xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
+    kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
+
+    feat = pl.BlockSpec(
+        (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def stream_spec(shape, other_stream=False):
+        if other_stream and s == 2:
+            index = lambda i, r: (1 - i // b, *([0] * len(shape)))
+        else:
+            index = lambda i, r: (i // b, *([0] * len(shape)))
+        return pl.BlockSpec((1, *shape), index, memory_space=pltpu.VMEM)
+
+    if mask_nwin == 1:
+        mask_spec = pl.BlockSpec(
+            (1, tp, tp), lambda i, r: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        mask_spec = pl.BlockSpec(
+            (n_w, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    kv_is_other = cross and s == 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _block_fwd_kernel,
+            num_heads=num_heads,
+            dims_per_head=d,
+            activation=activation,
+        ),
+        grid=(n, n_rows),
+        in_specs=[
+            feat, feat,
+            stream_spec((1, c)), stream_spec((1, c)),
+            stream_spec((1, c), other_stream=kv_is_other),
+            stream_spec((1, c), other_stream=kv_is_other),
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, d, c)), stream_spec((1, c)),
+            stream_spec((tp, tp)),
+            mask_spec,
+            stream_spec((1, c)), stream_spec((1, c)),
+            stream_spec((c, hd)), stream_spec((1, hd)),
+            stream_spec((hd, c)), stream_spec((1, c)),
+        ],
+        out_specs=feat,
+        out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+        interpret=interpret,
+    )(
+        xw, kvw,
+        ln1_scale[:, None, :], ln1_bias[:, None, :],
+        ln1_scale[:, None, :], ln1_bias[:, None, :],
+        split_heads_w(attn["wq"]), split_heads_b(attn["bq"]),
+        split_heads_w(attn["wk"]), split_heads_b(attn["bk"]),
+        split_heads_w(attn["wv"]), split_heads_b(attn["bv"]),
+        split_heads_wp(attn["wp"]), attn["bp"][:, None, :],
+        bias_p, mask_arr,
+        ln2_scale[:, None, :], ln2_bias[:, None, :],
+        w1, b1[:, None, :], w2, b2[:, None, :],
+    )
+
+    out = out.reshape(s, b * n_rows, n_w, tp, c)[:, :, :, :t, :]
+    out = window_unpartition(out.reshape(s, b * n_rows * n_w, t, c), window, (h, w))
+    if shift:
+        out = cyclic_shift(out, window, reverse=True)
+    return out

@@ -84,3 +84,47 @@ def test_pallas_custom_vjp_matches_jnp_grads(rng, shift, cross):
     assert ref_tree == pl_tree
     for a, b in zip(ref_leaves, pl_leaves):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3)
+
+
+def test_pallas_fused_block_matches_jnp(rng):
+    """Whole-block fused kernel (LN+attn+res+LN+MLP+res) == composed jnp BasicBlock."""
+    from swin_unet_image_fusion_tpu.models.layers import BasicBlock
+
+    c, heads, dph = 8, 2, 4
+    x = jnp.asarray(rng.standard_normal((2, 2, 14, 21, c)).astype(np.float32))
+    for shift in (False, True):
+        for cross in (False, True):
+            kwargs = dict(
+                streams=2, dims=c, num_heads=heads, dims_per_head=dph,
+                window_size=(7, 7), shift=shift, cross=cross, mlp_hidden_dims=16,
+            )
+            ref_mod = BasicBlock(**kwargs, impl="jnp")
+            variables = ref_mod.init(jax.random.PRNGKey(1), x)
+            ref = ref_mod.apply(variables, x)
+
+            fused_mod = BasicBlock(**kwargs, impl="pallas_block_interpret")
+            out = fused_mod.apply(variables, x)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4,
+                err_msg=f"shift={shift} cross={cross}",
+            )
+
+
+def test_pallas_fused_block_full_model(rng):
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    base = dict(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    ir = jnp.asarray(rng.random((1, 30, 26, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((1, 30, 26, 1), dtype=np.float32))
+
+    jnp_model = SwinFusionUNet(ModelConfig(**base))
+    variables = jnp_model.init(jax.random.PRNGKey(0), ir, vis)
+    ref = jnp_model.apply(variables, ir, vis)
+
+    fused = SwinFusionUNet(ModelConfig(**base, attention_impl="pallas_block_interpret"))
+    out = fused.apply(variables, ir, vis)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
