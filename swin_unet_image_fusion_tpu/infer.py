@@ -30,10 +30,17 @@ from .utils.term import cyan, green
 
 
 class Fuser:
-    """Jitted fusion engine; one compiled executable per input resolution."""
+    """Jitted fusion engine; one compiled executable per input resolution.
 
-    def __init__(self, cfg: Config, params, batch_stats):
+    ``bucket=N`` pads inputs (reflect, bottom/right) up to multiples of N and crops the
+    output, bounding the number of distinct compilations for heterogeneous datasets.
+    NOTE: bucketing changes the reflect-pad context at the crop border, so outputs are
+    not bit-identical to exact-shape mode there; bucket=0 (default) is parity mode.
+    """
+
+    def __init__(self, cfg: Config, params, batch_stats, bucket: int = 0):
         self.cfg = cfg
+        self.bucket = bucket
         self.model = SwinFusionUNet(cfg.model)
         self.variables = {"params": params, "batch_stats": batch_stats}
         self._forward = jax.jit(
@@ -59,8 +66,17 @@ class Fuser:
 
     def fuse_y(self, ir: np.ndarray, vis_y: np.ndarray) -> np.ndarray:
         """Fuse NHWC float [0,1] arrays; returns clamped fused Y (B, H, W, 1)."""
+        h, w = ir.shape[1], ir.shape[2]
+        if self.bucket:
+            from .ops.shape_plan import pad_amount
+
+            ph, pw = pad_amount(h, self.bucket), pad_amount(w, self.bucket)
+            if ph or pw:
+                widths = [(0, 0), (0, ph), (0, pw), (0, 0)]
+                ir = np.pad(ir, widths, mode="reflect")
+                vis_y = np.pad(vis_y, widths, mode="reflect")
         out = self._forward(self.variables, jnp.asarray(ir), jnp.asarray(vis_y))
-        return np.asarray(out)
+        return np.asarray(out)[:, :h, :w, :]
 
     def fuse_pair_ycrcb(self, ir: np.ndarray, vis_ycrcb: np.ndarray) -> np.ndarray:
         """Full colour path: fuse Y, reattach Cr/Cb, convert to RGB (a017:65-88)."""
