@@ -44,15 +44,22 @@ def ssim_term(
 def texture_term(
     cfg: LossConfig, fusion: jnp.ndarray, ir: jnp.ndarray, vis: jnp.ndarray
 ) -> jnp.ndarray:
-    """Reference a008_loss.py:161-199: fused edges should dominate both inputs'."""
+    """Reference a008_loss.py:161-199: fused edges should dominate both inputs'.
+
+    With ``choose_canny_else_sobel`` the reference uses kornia Canny's *binary edge
+    map* (``a008:187-192``, the second return value) — which carries no gradient there
+    either; it ships and trains with Sobel.
+    """
     if cfg.choose_canny_else_sobel:
-        raise NotImplementedError(
-            "Canny edges are exposed by the reference config but were never used for "
-            "training (A000_CONFIG.py:37) and are not differentiable; use Sobel."
-        )
-    edge_fus = sobel_magnitude(fusion)
-    edge_ir = sobel_magnitude(ir)
-    edge_vis = sobel_magnitude(vis)
+        from .ops.edges import canny
+
+        edge_fus = canny(fusion)[1]
+        edge_ir = canny(ir)[1]
+        edge_vis = canny(vis)[1]
+    else:
+        edge_fus = sobel_magnitude(fusion)
+        edge_ir = sobel_magnitude(ir)
+        edge_vis = sobel_magnitude(vis)
     return jnp.mean(jnp.abs(edge_fus - jnp.maximum(edge_ir, edge_vis)))
 
 

@@ -104,3 +104,25 @@ def test_texture_term_zero_when_fused_has_max_edges(rng):
     # fusing the stronger-edged image exactly -> edge(fus) == max(edge_ir, edge_vis)
     val = float(texture_term(LossConfig(), ir, ir, vis))
     assert val < 1e-6
+
+
+def test_canny_edges_reasonable(rng):
+    """Canny returns a binary edge map that marks a sharp step edge."""
+    from swin_unet_image_fusion_tpu.ops.edges import canny
+
+    img = np.zeros((1, 32, 32, 1), np.float32)
+    img[:, :, 16:, :] = 1.0  # vertical step edge
+    mag, edges = canny(jnp.asarray(img))
+    edges = np.asarray(edges)
+    assert set(np.unique(edges)).issubset({0.0, 1.0})
+    # the edge column fires, far-away columns don't
+    assert edges[0, 16, 15:17, 0].max() == 1.0
+    assert edges[0, :, :8, 0].max() == 0.0
+    assert edges[0, :, 24:, 0].max() == 0.0
+
+
+def test_texture_term_canny_mode(rng):
+    cfg = LossConfig(choose_canny_else_sobel=True)
+    a = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    val = float(texture_term(cfg, a, a, a * 0.5))
+    assert np.isfinite(val) and val >= 0
