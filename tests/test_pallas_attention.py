@@ -128,3 +128,22 @@ def test_pallas_fused_block_full_model(rng):
     fused = SwinFusionUNet(ModelConfig(**base, attention_impl="pallas_block_interpret"))
     out = fused.apply(variables, ir, vis)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+def test_single_path_blocks(rng):
+    """streams=1 (the reference's use_dual_path=False mode, a002:81-82) works for
+    self-attention blocks on both implementations."""
+    from swin_unet_image_fusion_tpu.models.layers import BasicBlock
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 14, 14, 8)).astype(np.float32))
+    kwargs = dict(
+        streams=1, dims=8, num_heads=2, dims_per_head=4,
+        window_size=(7, 7), shift=True, cross=False, mlp_hidden_dims=16,
+    )
+    mod = BasicBlock(**kwargs, impl="jnp")
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(variables, x)
+    assert ref.shape == x.shape
+
+    out = BasicBlock(**kwargs, impl="pallas_interpret").apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
