@@ -305,7 +305,6 @@ def pallas_window_attention(
     d = dims_per_head
 
     mask_np, mask_nwin = _full_mask(mask, t, tp)
-    mask_arr = jnp.asarray(mask_np)
 
     # rel-pos bias padded to (S, TP, TP)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
@@ -359,6 +358,9 @@ def pallas_window_attention(
     ]
 
     def _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+        # the mask constant is materialised inside each traced closure: a shared
+        # jnp constant would leak as a tracer across the custom_vjp/remat boundary
+        mask_arr = jnp.asarray(mask_np)
         xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
         kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
         out = pl.pallas_call(
@@ -390,6 +392,7 @@ def pallas_window_attention(
 
     def _backward(res, g):
         x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
+        mask_arr = jnp.asarray(mask_np)
         xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
         kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
         gw = to_padded_windows(g).reshape(n * n_rows, n_w, tp, c)

@@ -176,7 +176,7 @@ def pallas_fused_block(
     kv = jnp.flip(x, axis=0) if cross else x
 
     mask_np, mask_nwin = _full_mask(mask, t, tp)
-    mask_arr = jnp.asarray(mask_np)
+    mask_arr = jnp.asarray(mask_np)  # single trace scope here (no custom VJP)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
 
     def split_heads_w(wmat):
