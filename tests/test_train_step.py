@@ -127,3 +127,25 @@ def test_data_parallel_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4 * global_scale, rtol=1e-3
         )
+
+
+def test_train_step_with_pallas_attention_and_remat(rng):
+    """The fused attention kernel (custom VJP) trains under remat; loss matches the
+    jnp path on identical weights."""
+    import dataclasses
+
+    cfg_jnp = TINY
+    cfg_pl = dataclasses.replace(
+        TINY,
+        model=dataclasses.replace(
+            TINY.model, attention_impl="pallas_interpret", remat=True
+        ),
+    )
+    state = create_train_state(cfg_jnp, jax.random.PRNGKey(0), 10, (28, 28))
+    ir, vis = _batch(rng)
+
+    s1, t1 = make_train_step(cfg_jnp, donate=False)(state, ir, vis)
+    s2, t2 = make_train_step(cfg_pl, donate=False)(state, ir, vis)
+    np.testing.assert_allclose(
+        float(t2["total_loss"]), float(t1["total_loss"]), rtol=1e-5
+    )
