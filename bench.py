@@ -22,6 +22,14 @@ import time
 
 def main():
     import jax
+
+    # persistent compile cache: the remote-compile tunnel costs minutes per program
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
