@@ -1,0 +1,99 @@
+"""Inference driver tests: Fuser colour path, bucketing, run_test end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from swin_unet_image_fusion_tpu.config import Config, DataConfig, LogConfig, ModelConfig
+from swin_unet_image_fusion_tpu.infer import Fuser, run_test
+from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+cv2 = pytest.importorskip("cv2")
+
+TINY_MODEL = ModelConfig(
+    in_dims_list=(1, 8),
+    out_dims_list=(8, 16),
+    att_num_heads=2,
+    att_dims_per_head_ratio=1 / 2,
+)
+
+
+def _fuser(cfg: Config) -> Fuser:
+    model = SwinFusionUNet(cfg.model)
+    import jax.numpy as jnp
+
+    dummy = jnp.zeros((1, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    return Fuser(cfg, variables["params"], variables.get("batch_stats", {}))
+
+
+def test_fuse_pair_ycrcb_shapes(rng):
+    cfg = Config(model=TINY_MODEL)
+    fuser = _fuser(cfg)
+    ir = rng.random((1, 60, 52, 1), dtype=np.float32)
+    vis = rng.random((1, 60, 52, 3), dtype=np.float32)
+    # keep chroma near neutral so YCrCb->RGB stays in gamut (random chroma would be
+    # clipped by the RGB conversion, destroying the passthrough we want to verify)
+    vis[..., 1:] = 0.5 + 0.05 * (vis[..., 1:] - 0.5)
+    rgb = fuser.fuse_pair_ycrcb(ir, vis)
+    assert rgb.shape == (1, 60, 52, 3)
+    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+    # Cr/Cb passthrough: converting the output back to YCrCb recovers the input chroma
+    back = cv2.cvtColor(np.asarray(rgb[0]), cv2.COLOR_RGB2YCrCb)
+    np.testing.assert_allclose(back[..., 1:], vis[0, ..., 1:], atol=5e-2)
+
+
+def test_bucketed_fuser_crops_back(rng):
+    cfg = Config(model=TINY_MODEL)
+    fuser = _fuser(cfg)
+    fuser.bucket = 32
+    ir = rng.random((1, 50, 45, 1), dtype=np.float32)
+    vis = rng.random((1, 50, 45, 1), dtype=np.float32)
+    out = fuser.fuse_y(ir, vis)
+    assert out.shape == (1, 50, 45, 1)
+
+
+def test_run_test_end_to_end(tmp_path, rng):
+    """The reference a017_test.py workload: walk test folder, fuse, save jpgs."""
+    (tmp_path / "input" / "ir").mkdir(parents=True)
+    (tmp_path / "input" / "vis").mkdir(parents=True)
+    for i in range(2):
+        g = (rng.random((40, 48)) * 255).astype(np.uint8)
+        c = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "input" / "ir" / f"pic{i}.png"), g)
+        cv2.imwrite(str(tmp_path / "input" / "vis" / f"pic{i}.png"), c)
+
+    # save a checkpoint to load
+    import orbax.checkpoint as ocp
+
+    cfg = Config(
+        model=TINY_MODEL,
+        data=DataConfig(
+            test_dataset_folder=str(tmp_path / "input"),
+            test_result_folder=str(tmp_path / "output"),
+        ),
+        log=LogConfig(using_state_path=str(tmp_path / "ckpt")),
+    )
+    model = SwinFusionUNet(cfg.model)
+    import jax.numpy as jnp
+
+    dummy = jnp.zeros((1, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            str(tmp_path / "ckpt"),
+            {
+                "params": jax.device_get(variables["params"]),
+                "opt_state": {},
+                "batch_stats": jax.device_get(variables["batch_stats"]),
+                "step": 0,
+                "epoch": 1,
+            },
+        )
+
+    run_test(cfg)
+    outs = sorted(os.listdir(tmp_path / "output"))
+    assert outs == ["pic0_MKX_SELF.jpg", "pic1_MKX_SELF.jpg"]  # a017_test.py:112 naming
