@@ -19,6 +19,14 @@ import numpy as np
 
 
 def main():
+    # golden parity runs against CPU torch; keep JAX on CPU too (exact + no TPU dep)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     hw = (256, 256)
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     if len(args) >= 2:
