@@ -9,6 +9,19 @@ from .models.unet import SwinFusionUNet
 
 __version__ = "0.1.0"
 
+
+def fuse(ir, vis_y, checkpoint: str, cfg: Config | None = None):
+    """One-call fusion: ``fuse(ir, vis_y, checkpoint) -> fused`` (NHWC float [0,1]).
+
+    ``checkpoint`` may be an Orbax directory or a reference ``.pth`` file.
+    For the full colour path / batch APIs use :class:`infer.Fuser`.
+    """
+    from .infer import Fuser
+
+    fuser = Fuser.from_checkpoint(cfg or Config(), checkpoint)
+    return fuser.fuse_y(ir, vis_y)
+
+
 __all__ = [
     "Config",
     "ModelConfig",
@@ -17,4 +30,5 @@ __all__ = [
     "DataConfig",
     "LogConfig",
     "SwinFusionUNet",
+    "fuse",
 ]
