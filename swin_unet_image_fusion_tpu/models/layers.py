@@ -397,8 +397,8 @@ class BasicBlock(nn.Module):
 
     def _fused_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Whole-block fused Pallas kernel (ops/pallas_block.py): LN -> attention ->
-        +res -> LN -> MLP -> +res in one pass. Inference-only (no VJP); declares the
-        identical param tree to the composed path."""
+        +res -> LN -> MLP -> +res in one pass, differentiable (custom VJP). Declares
+        the identical param tree to the composed path."""
         from ..ops.pallas_block import pallas_fused_block
 
         if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:

@@ -14,10 +14,12 @@ flipped stream as kv plus the *other* stream's LN1 weights (selected by the grid
 map) and re-normalises it in VMEM — a cheap VPU recompute that keeps the kernel
 single-pass.
 
-Inference-only: no custom VJP (training uses ``attention_impl="pallas"`` — the fused
-attention with VJP — or the jnp path). Layout/layering constraints are identical to
-pallas_attention.py (windows pre-partitioned outside, T padded to 56, per-head
-pre-split weights, single-batch-dim dots).
+Differentiable: a custom VJP recomputes the whole block in VMEM on the backward pass
+(flash-style) and accumulates every parameter gradient across the sequential grid —
+including the cross-stream LN1 weights, whose kv-side contributions are routed to the
+*other* stream's accumulator slot by the output index map. Layout constraints are
+identical to pallas_attention.py (windows pre-partitioned outside, T padded to 56,
+per-head pre-split weights, single-batch-dim dots).
 """
 
 from __future__ import annotations
@@ -136,6 +138,201 @@ def _block_fwd_kernel(
     out_ref[...] = out.reshape(1, tile, tp, c).astype(out_ref.dtype)
 
 
+
+def _act_and_grad(z, activation):
+    """activation(z) and d activation/dz."""
+    if activation == "elu":
+        return jax.nn.elu(z), jnp.where(z > 0, 1.0, jnp.exp(z))
+    if activation == "relu":
+        return jax.nn.relu(z), (z > 0).astype(z.dtype)
+    if activation == "gelu":
+        inv_sqrt2 = 0.7071067811865476
+        cdf = 0.5 * (1.0 + jax.lax.erf(z * inv_sqrt2))
+        pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+        return z * cdf, cdf + z * pdf
+    raise ValueError(activation)
+
+
+def _ln_fwd(a, scale, bias):
+    mu = jnp.mean(a, axis=-1, keepdims=True)
+    var = jnp.mean((a - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (a - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(g_out, xhat, inv, scale):
+    """Returns (g_a, g_scale, g_bias) for out = xhat * scale + bias."""
+    g_scale = jnp.sum(g_out * xhat, axis=0)
+    g_bias = jnp.sum(g_out, axis=0)
+    g_xhat = g_out * scale
+    m1 = jnp.mean(g_xhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(g_xhat * xhat, axis=-1, keepdims=True)
+    g_a = inv * (g_xhat - m1 - xhat * m2)
+    return g_a, g_scale, g_bias
+
+
+def _block_bwd_kernel(
+    x_ref, kv_ref,
+    ln1s_ref, ln1b_ref, ln1kvs_ref, ln1kvb_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wp_ref, bp_ref,
+    bias_ref, mask_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    g_ref,
+    gx_ref, gkv_ref,
+    gln1s_q_ref, gln1b_q_ref, gln1s_kv_ref, gln1b_kv_ref,
+    gwq_ref, gbq_ref, gwk_ref, gbk_ref, gwv_ref, gbv_ref, gwp_ref, gbp_ref,
+    gbias_ref,
+    gln2s_ref, gln2b_ref,
+    gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+    *,
+    num_heads: int,
+    dims_per_head: int,
+    activation: str,
+    batch: int,
+):
+    """Recompute the fused block in VMEM, then backprop everything."""
+    _, tile, tp, c = x_ref.shape
+    scale_qk = dims_per_head**-0.5
+
+    x = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+    kv = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+    g = g_ref[0].reshape(tile * tp, c).astype(jnp.float32)
+
+    s1 = ln1s_ref[0, 0].astype(jnp.float32)
+    b1 = ln1b_ref[0, 0].astype(jnp.float32)
+    s1o = ln1kvs_ref[0, 0].astype(jnp.float32)
+    b1o = ln1kvb_ref[0, 0].astype(jnp.float32)
+    s2 = ln2s_ref[0, 0].astype(jnp.float32)
+    b2v = ln2b_ref[0, 0].astype(jnp.float32)
+    w1 = w1_ref[0].astype(jnp.float32)
+    b1m = b1_ref[0, 0].astype(jnp.float32)
+    w2 = w2_ref[0].astype(jnp.float32)
+    b2m = b2_ref[0, 0].astype(jnp.float32)
+
+    bias = bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[...]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm_tn(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmm(a, b, contract):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(0) % batch == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (
+            gln1s_q_ref, gln1b_q_ref, gln1s_kv_ref, gln1b_kv_ref,
+            gwq_ref, gbq_ref, gwk_ref, gbk_ref, gwv_ref, gbv_ref,
+            gwp_ref, gbp_ref, gbias_ref, gln2s_ref, gln2b_ref,
+            gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+        ):
+            r[...] = jnp.zeros_like(r)
+
+    # ---- recompute forward ----
+    ln_x, xhat1, inv1 = _ln_fwd(x, s1, b1)
+    ln_kv, xhat1kv, inv1kv = _ln_fwd(kv, s1o, b1o)
+
+    # attention fwd per head, keeping per-head residuals in a python list (static)
+    heads_res = []
+    acc = jnp.zeros((tile * tp, c), jnp.float32)
+    for h in range(num_heads):
+        wq = wq_ref[0, h].astype(jnp.float32)
+        wk = wk_ref[0, h].astype(jnp.float32)
+        wv = wv_ref[0, h].astype(jnp.float32)
+        wp = wp_ref[0, h].astype(jnp.float32)
+        q = (mm(ln_x, wq) + bq_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
+        k = (mm(ln_kv, wk) + bk_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
+        v = (mm(ln_kv, wv) + bv_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
+        sc = bmm(q, k, ((2,), (2,))) * scale_qk + bias[None]
+        sc = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), sc)
+        p = jax.nn.softmax(sc, axis=-1)
+        av = bmm(p, v, ((2,), (1,)))
+        acc = acc + mm(av.reshape(tile * tp, dims_per_head), wp)
+        heads_res.append((q, k, v, p, av))
+
+    y = x + acc + bp_ref[0, 0].astype(jnp.float32)
+    ln_y, xhat2, inv2 = _ln_fwd(y, s2, b2v)
+    pre1 = mm(ln_y, w1) + b1m
+    h1, dact = _act_and_grad(pre1, activation)
+
+    # ---- backward ----
+    # out = y + h1 @ w2 + b2m
+    g_y = g
+    gw2_ref[0] += mm_tn(h1, g)
+    gb2_ref[0, 0] += g.sum(axis=0)
+    g_h1 = mm(g, w2.T)
+    g_pre1 = g_h1 * dact
+    gw1_ref[0] += mm_tn(ln_y, g_pre1)
+    gb1_ref[0, 0] += g_pre1.sum(axis=0)
+    g_lny = mm(g_pre1, w1.T)
+    g_y2, g_s2, g_b2 = _ln_bwd(g_lny, xhat2, inv2, s2)
+    gln2s_ref[0, 0] += g_s2
+    gln2b_ref[0, 0] += g_b2
+    g_y = g_y + g_y2
+
+    # attention backward: upstream grad of `acc` (+bp) is g_y
+    g_lnx = jnp.zeros((tile * tp, c), jnp.float32)
+    g_lnkv = jnp.zeros((tile * tp, c), jnp.float32)
+    g_bias_acc = jnp.zeros((tp, tp), jnp.float32)
+    gbp_ref[0, 0] += g_y.sum(axis=0)
+    for h in range(num_heads):
+        wq = wq_ref[0, h].astype(jnp.float32)
+        wk = wk_ref[0, h].astype(jnp.float32)
+        wv = wv_ref[0, h].astype(jnp.float32)
+        wp = wp_ref[0, h].astype(jnp.float32)
+        q, k, v, p, av = heads_res[h]
+
+        g_av2 = mm(g_y, wp.T)
+        gwp_ref[0, h] += mm_tn(av.reshape(tile * tp, dims_per_head), g_y)
+        g_av = g_av2.reshape(tile, tp, dims_per_head)
+        g_p = bmm(g_av, v, ((2,), (2,)))
+        g_v = bmm(p, g_av, ((1,), (1,)))
+        tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
+        g_s = p * (g_p - tmp)
+        g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
+        g_q = (bmm(g_s, k, ((2,), (1,))) * scale_qk).reshape(tile * tp, dims_per_head)
+        g_k = (bmm(g_s, q, ((1,), (1,))) * scale_qk).reshape(tile * tp, dims_per_head)
+        g_v2 = g_v.reshape(tile * tp, dims_per_head)
+
+        g_lnx = g_lnx + mm(g_q, wq.T)
+        g_lnkv = g_lnkv + mm(g_k, wk.T) + mm(g_v2, wv.T)
+        gwq_ref[0, h] += mm_tn(ln_x, g_q)
+        gwk_ref[0, h] += mm_tn(ln_kv, g_k)
+        gwv_ref[0, h] += mm_tn(ln_kv, g_v2)
+        gbq_ref[0, h, 0] += g_q.sum(axis=0)
+        gbk_ref[0, h, 0] += g_k.sum(axis=0)
+        gbv_ref[0, h, 0] += g_v2.sum(axis=0)
+
+    gbias_ref[0] += g_bias_acc
+
+    g_x_ln, g_s1, g_b1 = _ln_bwd(g_lnx, xhat1, inv1, s1)
+    gln1s_q_ref[0, 0] += g_s1
+    gln1b_q_ref[0, 0] += g_b1
+    g_kv_ln, g_s1o, g_b1o = _ln_bwd(g_lnkv, xhat1kv, inv1kv, s1o)
+    gln1s_kv_ref[0, 0] += g_s1o
+    gln1b_kv_ref[0, 0] += g_b1o
+
+    g_x_total = g_y + g_x_ln  # residual + LN1 path
+    gx_ref[...] = g_x_total.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+    gkv_ref[...] = g_kv_ln.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
+
+
 def pallas_fused_block(
     x: jnp.ndarray,
     *,
@@ -176,7 +373,6 @@ def pallas_fused_block(
     kv = jnp.flip(x, axis=0) if cross else x
 
     mask_np, mask_nwin = _full_mask(mask, t, tp)
-    mask_arr = jnp.asarray(mask_np)  # single trace scope here (no custom VJP)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
 
     def split_heads_w(wmat):
@@ -219,41 +415,144 @@ def pallas_fused_block(
 
     kv_is_other = cross and s == 2
 
-    out = pl.pallas_call(
-        functools.partial(
-            _block_fwd_kernel,
-            num_heads=num_heads,
-            dims_per_head=d,
-            activation=activation,
-        ),
-        grid=(n, n_rows),
-        in_specs=[
-            feat, feat,
-            stream_spec((1, c)), stream_spec((1, c)),
-            stream_spec((1, c), other_stream=kv_is_other),
-            stream_spec((1, c), other_stream=kv_is_other),
-            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-            stream_spec((num_heads, d, c)), stream_spec((1, c)),
-            stream_spec((tp, tp)),
-            mask_spec,
-            stream_spec((1, c)), stream_spec((1, c)),
-            stream_spec((c, hd)), stream_spec((1, hd)),
-            stream_spec((hd, c)), stream_spec((1, c)),
-        ],
-        out_specs=feat,
-        out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
-        interpret=interpret,
-    )(
+    fwd_in_specs = [
+        feat, feat,
+        stream_spec((1, c)), stream_spec((1, c)),
+        stream_spec((1, c), other_stream=kv_is_other),
+        stream_spec((1, c), other_stream=kv_is_other),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, d, c)), stream_spec((1, c)),
+        stream_spec((tp, tp)),
+        mask_spec,
+        stream_spec((1, c)), stream_spec((1, c)),
+        stream_spec((c, hd)), stream_spec((1, hd)),
+        stream_spec((hd, c)), stream_spec((1, c)),
+    ]
+
+    def _forward(xw, kvw, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
+        mask_arr = jnp.asarray(mask_np)
+        return pl.pallas_call(
+            functools.partial(
+                _block_fwd_kernel,
+                num_heads=num_heads,
+                dims_per_head=d,
+                activation=activation,
+            ),
+            grid=(n, n_rows),
+            in_specs=fwd_in_specs,
+            out_specs=feat,
+            out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+            interpret=interpret,
+        )(
+            xw, kvw, ln1s, ln1b, ln1s, ln1b,
+            wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
+            ln2s, ln2b, w1a, b1l, w2a, b2l,
+        )
+
+    def _backward(res, g):
+        (xw, kvw, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
+        mask_arr = jnp.asarray(mask_np)
+        f32 = jnp.float32
+
+        def out_stream_spec(shape, other_stream=False):
+            return stream_spec(shape, other_stream=other_stream)
+
+        outs = pl.pallas_call(
+            functools.partial(
+                _block_bwd_kernel,
+                num_heads=num_heads,
+                dims_per_head=d,
+                activation=activation,
+                batch=b,
+            ),
+            grid=(n, n_rows),
+            in_specs=[*fwd_in_specs, feat],
+            out_specs=(
+                feat, feat,
+                out_stream_spec((1, c)), out_stream_spec((1, c)),
+                out_stream_spec((1, c), other_stream=kv_is_other),
+                out_stream_spec((1, c), other_stream=kv_is_other),
+                out_stream_spec((num_heads, c, d)), out_stream_spec((num_heads, 1, d)),
+                out_stream_spec((num_heads, c, d)), out_stream_spec((num_heads, 1, d)),
+                out_stream_spec((num_heads, c, d)), out_stream_spec((num_heads, 1, d)),
+                out_stream_spec((num_heads, d, c)), out_stream_spec((1, c)),
+                out_stream_spec((tp, tp)),
+                out_stream_spec((1, c)), out_stream_spec((1, c)),
+                out_stream_spec((c, hd)), out_stream_spec((1, hd)),
+                out_stream_spec((hd, c)), out_stream_spec((1, c)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
+                jax.ShapeDtypeStruct((s, num_heads, d, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, tp, tp), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+                jax.ShapeDtypeStruct((s, c, hd), f32),
+                jax.ShapeDtypeStruct((s, 1, hd), f32),
+                jax.ShapeDtypeStruct((s, hd, c), f32),
+                jax.ShapeDtypeStruct((s, 1, c), f32),
+            ),
+            interpret=interpret,
+        )(
+            xw, kvw, ln1s, ln1b, ln1s, ln1b,
+            wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
+            ln2s, ln2b, w1a, b1l, w2a, b2l,
+            g,
+        )
+        (gxw, gkvw,
+         gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+         gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
+         gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs
+
+        def cast(a, ref):
+            return a.astype(ref.dtype)
+
+        return (
+            gxw, gkvw,
+            cast(gln1s_q + gln1s_kv, ln1s), cast(gln1b_q + gln1b_kv, ln1b),
+            cast(gwq, wqh), cast(gbq, bqh),
+            cast(gwk, wkh), cast(gbk, bkh),
+            cast(gwv, wvh), cast(gbv, bvh),
+            cast(gwp, wph), cast(gbp, bpl),
+            cast(gbias, bias_pa),
+            cast(gln2s, ln2s), cast(gln2b, ln2b),
+            cast(gw1, w1a), cast(gb1, b1l),
+            cast(gw2, w2a), cast(gb2, b2l),
+        )
+
+    @jax.custom_vjp
+    def core(*args):
+        return _forward(*args)
+
+    def core_fwd(*args):
+        return _forward(*args), args
+
+    core.defvjp(core_fwd, _backward)
+
+    out = core(
         xw, kvw,
-        ln1_scale[:, None, :], ln1_bias[:, None, :],
         ln1_scale[:, None, :], ln1_bias[:, None, :],
         split_heads_w(attn["wq"]), split_heads_b(attn["bq"]),
         split_heads_w(attn["wk"]), split_heads_b(attn["bk"]),
         split_heads_w(attn["wv"]), split_heads_b(attn["bv"]),
         split_heads_wp(attn["wp"]), attn["bp"][:, None, :],
-        bias_p, mask_arr,
+        bias_p,
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1, b1[:, None, :], w2, b2[:, None, :],
     )

@@ -147,3 +147,40 @@ def test_single_path_blocks(rng):
 
     out = BasicBlock(**kwargs, impl="pallas_interpret").apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("cross", [False, True])
+def test_pallas_fused_block_grads(rng, shift, cross):
+    """Gradients through the fully fused block kernel (custom VJP) match jax.grad of
+    the composed jnp BasicBlock for inputs AND every parameter (incl. the
+    cross-stream LN1 weights routed to the other stream's accumulator)."""
+    from swin_unet_image_fusion_tpu.models.layers import BasicBlock
+
+    c, heads, dph = 8, 2, 4
+    x = jnp.asarray(rng.standard_normal((2, 2, 14, 14, c)).astype(np.float32))
+    kwargs = dict(
+        streams=2, dims=c, num_heads=heads, dims_per_head=dph,
+        window_size=(7, 7), shift=shift, cross=cross, mlp_hidden_dims=16,
+    )
+    jnp_mod = BasicBlock(**kwargs, impl="jnp")
+    variables = jnp_mod.init(jax.random.PRNGKey(2), x)
+    fused_mod = BasicBlock(**kwargs, impl="pallas_block_interpret")
+
+    def loss(mod):
+        def f(params, xx):
+            return jnp.sum(mod.apply({"params": params}, xx) * jnp.sin(xx))
+        return f
+
+    g_ref_p, g_ref_x = jax.grad(loss(jnp_mod), argnums=(0, 1))(variables["params"], x)
+    g_pl_p, g_pl_x = jax.grad(loss(fused_mod), argnums=(0, 1))(variables["params"], x)
+
+    np.testing.assert_allclose(np.asarray(g_pl_x), np.asarray(g_ref_x), atol=5e-5, rtol=1e-3)
+    ref_flat, ref_tree = jax.tree.flatten_with_path(g_ref_p)
+    pl_flat, pl_tree = jax.tree.flatten_with_path(g_pl_p)
+    assert ref_tree == pl_tree
+    for (path, a), (_, b2) in zip(ref_flat, pl_flat):
+        np.testing.assert_allclose(
+            np.asarray(b2), np.asarray(a), atol=1e-4, rtol=1e-3,
+            err_msg=f"shift={shift} cross={cross} param={jax.tree_util.keystr(path)}",
+        )
