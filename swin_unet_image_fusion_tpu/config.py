@@ -43,6 +43,9 @@ class ModelConfig:
     # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger
     # batches / resolutions in training.
     remat: bool = False
+    # Mesh axis name for cross-device BatchNorm statistics under shard_map (GSPMD jit
+    # computes global stats automatically; explicit shard_map needs the axis name).
+    bn_axis_name: str = ""
 
     @property
     def num_stages(self) -> int:

@@ -572,6 +572,9 @@ class FinalHead(nn.Module):
     kernel_size: int = 3
     activation: str = "elu"
     dtype: jnp.dtype = jnp.float32
+    # set to the mesh axis name under shard_map so BatchNorm statistics are computed
+    # over the global batch (GSPMD jit gets this automatically; shard_map needs it)
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, xy: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -598,6 +601,7 @@ class FinalHead(nn.Module):
             momentum=0.9,  # torch BatchNorm2d default momentum=0.1 -> flax 0.9
             epsilon=1e-5,
             dtype=jnp.float32,
+            axis_name=self.bn_axis_name,
             name="bn",
         )(x)
         x = activation_fn(self.activation)(x)

@@ -130,6 +130,7 @@ class SwinFusionUNet(nn.Module):
             kernel_size=cfg.final_conv_layer_kernel_size,
             activation=cfg.mlp_activation,
             dtype=dtype,
+            bn_axis_name=cfg.bn_axis_name or None,
             name="final_head",
         )(xy, train=train)
         return out.astype(jnp.float32)
