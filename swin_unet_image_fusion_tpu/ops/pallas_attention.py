@@ -51,6 +51,17 @@ def _padded_t(t: int) -> int:
     return ((t + T_PAD_MULTIPLE - 1) // T_PAD_MULTIPLE) * T_PAD_MULTIPLE
 
 
+def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 << 20) -> int:
+    """Window-rows per grid step: largest divisor of n_rows whose strip fits the VMEM
+    budget. Deep stages have tiny rows (n_w as small as 2) — batching rows per step
+    raises MXU occupancy and cuts grid overhead; stage 0 stays at 1 row."""
+    best = 1
+    for r in range(1, n_rows + 1):
+        if n_rows % r == 0 and r * n_w * tp * c * 4 <= budget_bytes:
+            best = r
+    return best
+
+
 def _attention_fwd_kernel(
     x_ref,       # (1, TILE, TP, C)
     kv_ref,      # (1, TILE, TP, C)
@@ -303,6 +314,9 @@ def pallas_window_attention(
     n = s * b
     inner = num_heads * dims_per_head
     d = dims_per_head
+    r_t = rows_per_tile(n_rows, n_w, tp, c)
+    n_tiles = n_rows // r_t
+    wt = r_t * n_w  # windows per grid step
 
     mask_np, mask_nwin = _full_mask(mask, t, tp)
 
@@ -328,11 +342,6 @@ def pallas_window_attention(
         aw = aw[:, :, :, :t, :].reshape(s, b * n_rows * n_w, t, c)
         return window_unpartition(aw, window, (h, w))
 
-    def feat_spec():
-        return pl.BlockSpec(
-            (1, n_w, tp, c), lambda i, r: (i, r, 0, 0), memory_space=pltpu.VMEM
-        )
-
     def stream_spec(shape):
         return pl.BlockSpec(
             (1, *shape), lambda i, r: (i // b, *([0] * len(shape))),
@@ -345,7 +354,7 @@ def pallas_window_attention(
         )
     else:
         mask_spec = pl.BlockSpec(
-            (n_w, tp, tp), lambda i, r: (r % n_rows, 0, 0), memory_space=pltpu.VMEM
+            (wt, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
         )
 
     static = dict(num_heads=num_heads, dims_per_head=d, t_pad=tp)
@@ -361,24 +370,24 @@ def pallas_window_attention(
         # the mask constant is materialised inside each traced closure: a shared
         # jnp constant would leak as a tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
-        xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
-        kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
+        xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
+        kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
         out = pl.pallas_call(
             functools.partial(_attention_fwd_kernel, **static),
-            grid=(n, n_rows),
+            grid=(n, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                pl.BlockSpec((1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                pl.BlockSpec((1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 *weight_specs,
                 mask_spec,
             ],
             out_specs=pl.BlockSpec(
-                (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+                (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
             interpret=interpret,
         )(
             xw, kvw,
@@ -388,22 +397,22 @@ def pallas_window_attention(
             split_heads_wp(wp), bp[:, None, :], bias_p,
             mask_arr,
         )
-        return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))
+        return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))  # noqa: E501 — (n*n_tiles, wt) == (n*n_rows, n_w) elementwise
 
     def _backward(res, g):
         x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
         mask_arr = jnp.asarray(mask_np)
-        xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
-        kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
-        gw = to_padded_windows(g).reshape(n * n_rows, n_w, tp, c)
+        xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
+        kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
+        gw = to_padded_windows(g).reshape(n * n_tiles, wt, tp, c)
         f32 = jnp.float32
         feat = pl.BlockSpec(
-            (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+            (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         outs = pl.pallas_call(
             functools.partial(_attention_bwd_kernel, batch=b, **static),
-            grid=(n, n_rows),
+            grid=(n, n_tiles),
             in_specs=[feat, feat, *weight_specs, mask_spec, feat],
             out_specs=(
                 feat, feat,
@@ -414,8 +423,8 @@ def pallas_window_attention(
                 stream_spec((tp, tp)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
-                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
                 jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
                 jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
                 jax.ShapeDtypeStruct((s, num_heads, c, d), f32),

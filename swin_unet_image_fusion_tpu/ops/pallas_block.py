@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _full_mask, _padded_t
+from .pallas_attention import _full_mask, _padded_t, rows_per_tile
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 
 LN_EPS = 1e-5
@@ -365,6 +365,10 @@ def pallas_fused_block(
     n = s * b
     d = dims_per_head
     hd = w1.shape[-1]
+    # VMEM budget counts the 4C-wide MLP hidden resident alongside the strip
+    r_t = rows_per_tile(n_rows, n_w, tp, c + hd)
+    n_tiles = n_rows // r_t
+    wt = r_t * n_w
 
     from .window import cyclic_shift
 
@@ -389,11 +393,11 @@ def pallas_fused_block(
         aw = aw.reshape(s, b * n_rows, n_w, t, c)
         return jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
 
-    xw = to_padded_windows(x).reshape(n * n_rows, n_w, tp, c)
-    kvw = to_padded_windows(kv).reshape(n * n_rows, n_w, tp, c)
+    xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
+    kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
 
     feat = pl.BlockSpec(
-        (1, n_w, tp, c), lambda i, r: (i * n_rows + r, 0, 0, 0),
+        (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -410,7 +414,7 @@ def pallas_fused_block(
         )
     else:
         mask_spec = pl.BlockSpec(
-            (n_w, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+            (wt, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
         )
 
     kv_is_other = cross and s == 2
@@ -441,10 +445,10 @@ def pallas_fused_block(
                 dims_per_head=d,
                 activation=activation,
             ),
-            grid=(n, n_rows),
+            grid=(n, n_tiles),
             in_specs=fwd_in_specs,
             out_specs=feat,
-            out_shape=jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
             interpret=interpret,
         )(
             xw, kvw, ln1s, ln1b, ln1s, ln1b,
@@ -469,7 +473,7 @@ def pallas_fused_block(
                 activation=activation,
                 batch=b,
             ),
-            grid=(n, n_rows),
+            grid=(n, n_tiles),
             in_specs=[*fwd_in_specs, feat],
             out_specs=(
                 feat, feat,
@@ -486,8 +490,8 @@ def pallas_fused_block(
                 out_stream_spec((hd, c)), out_stream_spec((1, c)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
-                jax.ShapeDtypeStruct((n * n_rows, n_w, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
+                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
