@@ -168,3 +168,42 @@ def test_pad_amount():
     assert pad_amount(15, 7) == 6
     assert pad_amount(20, 7) == 1
     assert pad_amount(6, 2) == 0
+
+
+def test_rows_per_tile_budget():
+    from swin_unet_image_fusion_tpu.ops.pallas_attention import rows_per_tile
+
+    # stage-0-like: big rows stay at 1
+    assert rows_per_tile(37, 74, 56, 24) == 1
+    # deep-stage-like: whole feature map fits one tile
+    assert rows_per_tile(2, 2, 56, 384) == 2
+    # must divide n_rows
+    r = rows_per_tile(6, 3, 56, 96)
+    assert 6 % r == 0
+    # always at least 1 even over budget
+    assert rows_per_tile(5, 1000, 56, 4096) == 1
+
+
+def test_model_random_odd_sizes(rng):
+    """Property-style: the tiny model round-trips arbitrary sizes (pad plan + shift
+    masks at many aspect ratios), finite output in [0,1] after clamp."""
+    import jax
+    import jax.numpy as jnp
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    cfg = ModelConfig(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    model = SwinFusionUNet(cfg)
+    variables = None
+    for h, w in [(17, 93), (64, 31), (50, 50), (41, 87)]:
+        ir = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+        vis = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), ir, vis)
+        out = model.apply(variables, ir, vis)
+        assert out.shape == (1, h, w, 1)
+        assert np.isfinite(np.asarray(out)).all()
