@@ -149,3 +149,27 @@ def test_train_step_with_pallas_attention_and_remat(rng):
     np.testing.assert_allclose(
         float(t2["total_loss"]), float(t1["total_loss"]), rtol=1e-5
     )
+
+
+def test_training_converges_on_structured_data(rng):
+    """~40 steps of the full unsupervised objective on structured synthetic data:
+    the loss must drop substantially (the model learns to reproduce bright/edge
+    content from both modalities)."""
+    state = create_train_state(TINY, jax.random.PRNGKey(1), 10, (28, 28))
+    step_fn = make_train_step(TINY, donate=False)
+
+    # structured pair: ir = bright blob, vis = gratings (distinct info per modality)
+    yy, xx = np.mgrid[0:28, 0:28] / 28.0
+    ir = np.exp(-((yy - 0.3) ** 2 + (xx - 0.4) ** 2) / 0.02).astype(np.float32)
+    vis = (0.5 + 0.5 * np.sin(xx * 20)).astype(np.float32)
+    ir_b = jnp.asarray(np.stack([ir] * 4)[..., None])
+    vis_b = jnp.asarray(np.stack([vis] * 4)[..., None])
+
+    losses = []
+    for _ in range(40):
+        state, terms = step_fn(state, ir_b, vis_b)
+        losses.append(float(terms["total_loss"]))
+    assert np.isfinite(losses).all()
+    # tiny model + 40 steps: expect a solid monotonic-ish drop, not full convergence
+    assert losses[-1] < 0.8 * losses[0], f"no convergence: {losses[0]} -> {losses[-1]}"
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
