@@ -38,3 +38,25 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def maybe_initialize_distributed() -> int:
+    """Multi-host (DCN) wiring: call once per process before building meshes.
+
+    Uses ``jax.distributed.initialize`` when the standard coordinator env vars are set
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU pod
+    environment that JAX auto-detects). No-op on a single host. Returns the process
+    index.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+    return jax.process_index()
+
+
+def process_local_shard(indices, *, process_index: int | None = None, process_count: int | None = None):
+    """Split a dataset index list across hosts (each host feeds its local devices)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return indices[pi::pc]
