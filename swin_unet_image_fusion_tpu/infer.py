@@ -16,8 +16,7 @@ pad context at the crop boundary, so parity mode (default) keeps exact shapes.
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import numpy as np
 from .config import Config
 from .data.dataset import FusionPairDataset
 from .models.unet import SwinFusionUNet
-from .utils.term import cyan, green
+from .utils.term import green
 
 
 class Fuser:

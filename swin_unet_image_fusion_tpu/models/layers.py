@@ -21,7 +21,6 @@ Numerics parity notes:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn

@@ -19,8 +19,6 @@ Layout: NHWC. Inputs ir/vis are (B, H, W, 1); output fused image is (B, H, W, 1)
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

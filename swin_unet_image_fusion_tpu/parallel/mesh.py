@@ -16,8 +16,6 @@ helpers below are agnostic to it.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

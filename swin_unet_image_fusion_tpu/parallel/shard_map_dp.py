@@ -17,12 +17,9 @@ single-device step exactly (verified in tests/test_shard_map_dp.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..losses import total_fusion_loss

@@ -16,7 +16,7 @@ and scales embarrassingly over ICI.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

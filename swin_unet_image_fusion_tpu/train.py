@@ -23,14 +23,11 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-from flax import struct
 from flax.training import train_state
 
 from .config import Config
@@ -40,7 +37,7 @@ from .models.unet import SwinFusionUNet
 from .optim import cosine_warm_restarts_schedule, make_optimizer
 from .parallel.mesh import data_mesh, data_sharding, replicated_sharding
 from .utils.meters import LossMeter
-from .utils.term import cyan, green, yellow
+from .utils.term import cyan, yellow
 
 
 class TrainState(train_state.TrainState):
