@@ -283,11 +283,12 @@ class DualWindowAttention(nn.Module):
             mask = shift_attention_mask((h, w), self.window_size)
         else:
             mask = None
-        kv = jnp.flip(x, axis=0) if self.cross else x
+        # kv=None selects the single-DMA self-attention kernel variant
+        kv = jnp.flip(x, axis=0).astype(self.dtype) if self.cross else None
 
         out = pallas_window_attention(
             x.astype(self.dtype),
-            kv.astype(self.dtype),
+            kv,
             wq, bq, wk, bk, wv, bv, wp, bp, bias, mask,
             window=self.window_size,
             num_heads=self.num_heads,

@@ -64,7 +64,8 @@ def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 
 
 def _attention_fwd_kernel(
     x_ref,       # (1, TILE, TP, C)
-    kv_ref,      # (1, TILE, TP, C)
+    kv_ref,      # (1, TILE, TP, C) — pass x_ref again for self-attention (no extra DMA
+                 # happens for the self variant below, which omits this input entirely)
     wq_ref,      # (1, heads, C, d)
     bq_ref,      # (1, heads, 1, d)
     wk_ref,
@@ -126,7 +127,7 @@ def _attention_fwd_kernel(
     out_ref[...] = out.reshape(1, tile, tp, c).astype(out_ref.dtype)
 
 
-def _attention_bwd_kernel(
+def _attention_bwd_body(
     x_ref,
     kv_ref,
     wq_ref,
@@ -141,7 +142,7 @@ def _attention_bwd_kernel(
     mask_ref,
     g_ref,
     gx_ref,
-    gkv_ref,
+    gkv_ref,   # None in the self variant: kv grads are folded into gx
     gwq_ref,
     gbq_ref,
     gwk_ref,
@@ -255,8 +256,33 @@ def _attention_bwd_kernel(
 
     gbp_ref[0, 0] += g.sum(axis=0)
     gbias_ref[0] += g_bias_acc
-    gx_ref[...] = g_x_acc.reshape(1, tile, tp, c).astype(gx_ref.dtype)
-    gkv_ref[...] = g_kv_acc.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
+    if gkv_ref is None:  # self-attention: q and k/v grads land on the same input
+        g_x_acc = g_x_acc + g_kv_acc
+        gx_ref[...] = g_x_acc.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+    else:
+        gx_ref[...] = g_x_acc.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+        gkv_ref[...] = g_kv_acc.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
+
+
+def _attention_bwd_kernel(*refs, **kw):
+    """cross variant: distinct x / kv inputs and separate gx / gkv outputs."""
+    (x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
+     gx, gkv, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias) = refs
+    _attention_bwd_body(x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
+                        gx, gkv, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias, **kw)
+
+
+def _attention_bwd_kernel_self(*refs, **kw):
+    """self variant: one input strip, kv grads folded into gx (one DMA saved each way)."""
+    (x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
+     gx, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias) = refs
+    _attention_bwd_body(x_ref, x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
+                        gx, None, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias, **kw)
+
+
+def _attention_fwd_kernel_self(*refs, **kw):
+    (x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, out) = refs
+    _attention_fwd_kernel(x_ref, x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, out, **kw)
 
 
 @functools.lru_cache(maxsize=None)
@@ -281,7 +307,7 @@ def _full_mask(mask: Optional[np.ndarray], t: int, t_pad: int) -> Tuple[np.ndarr
 
 def pallas_window_attention(
     x: jnp.ndarray,
-    kv: jnp.ndarray,
+    kv: Optional[jnp.ndarray],
     wq: jnp.ndarray,
     bq: jnp.ndarray,
     wk: jnp.ndarray,
@@ -301,9 +327,11 @@ def pallas_window_attention(
     """Fused window attention over stacked streams.
 
     x, kv: (S, B, H, W, C) with H, W divisible by the window (guaranteed by the static
-    shape plan). Weights: wq/wk/wv (S, C, inner), wp (S, inner, C), biases (S, inner) /
-    (S, C); bias: (S, T, T) gathered rel-pos bias; mask: (nWin, T, T) bool shift mask or
-    None. Returns (S, B, H, W, C). Differentiable (custom VJP).
+    shape plan). ``kv=None`` selects the self-attention kernel variant (single strip
+    DMA; kv grads folded into x's). Weights: wq/wk/wv (S, C, inner), wp (S, inner, C),
+    biases (S, inner) / (S, C); bias: (S, T, T) gathered rel-pos bias; mask:
+    (nWin, T, T) bool shift mask or None. Returns (S, B, H, W, C). Differentiable
+    (custom VJP).
     """
     s, b, h, w, c = x.shape
     wh, ww = window
@@ -366,93 +394,82 @@ def pallas_window_attention(
         stream_spec((tp, tp)),
     ]
 
-    def _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+    same_kv = kv is None
+    feat = pl.BlockSpec(
+        (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    feat_shape = jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype)
+    grad_shapes = (
+        jax.ShapeDtypeStruct((s, num_heads, c, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, 1, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, c, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, 1, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, c, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, 1, d), jnp.float32),
+        jax.ShapeDtypeStruct((s, num_heads, d, c), jnp.float32),
+        jax.ShapeDtypeStruct((s, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((s, tp, tp), jnp.float32),
+    )
+    grad_specs = (
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+        stream_spec((num_heads, d, c)), stream_spec((1, c)),
+        stream_spec((tp, tp)),
+    )
+
+    def split_all(wq, bq, wk, bk, wv, bv, wp, bp):
+        return (
+            split_heads_w(wq), split_heads_b(bq),
+            split_heads_w(wk), split_heads_b(bk),
+            split_heads_w(wv), split_heads_b(bv),
+            split_heads_wp(wp), bp[:, None, :],
+        )
+
+    def _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
         # the mask constant is materialised inside each traced closure: a shared
         # jnp constant would leak as a tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
-        xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
-        kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
+        fw = [to_padded_windows(a).reshape(n * n_tiles, wt, tp, c) for a in feats]
+        kernel = _attention_fwd_kernel_self if same_kv else _attention_fwd_kernel
         out = pl.pallas_call(
-            functools.partial(_attention_fwd_kernel, **static),
+            functools.partial(kernel, **static),
             grid=(n, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                *weight_specs,
-                mask_spec,
-            ],
-            out_specs=pl.BlockSpec(
-                (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
+            in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec],
+            out_specs=feat,
+            out_shape=feat_shape,
             interpret=interpret,
-        )(
-            xw, kvw,
-            split_heads_w(wq), split_heads_b(bq),
-            split_heads_w(wk), split_heads_b(bk),
-            split_heads_w(wv), split_heads_b(bv),
-            split_heads_wp(wp), bp[:, None, :], bias_p,
-            mask_arr,
-        )
-        return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))  # noqa: E501 — (n*n_tiles, wt) == (n*n_rows, n_w) elementwise
+        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr)
+        return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))
 
     def _backward(res, g):
-        x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
+        feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
         mask_arr = jnp.asarray(mask_np)
-        xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
-        kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
+        fw = [to_padded_windows(a).reshape(n * n_tiles, wt, tp, c) for a in feats]
         gw = to_padded_windows(g).reshape(n * n_tiles, wt, tp, c)
-        f32 = jnp.float32
-        feat = pl.BlockSpec(
-            (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        kernel = _attention_bwd_kernel_self if same_kv else _attention_bwd_kernel
+        n_feat_grads = 1 if same_kv else 2
         outs = pl.pallas_call(
-            functools.partial(_attention_bwd_kernel, batch=b, **static),
+            functools.partial(kernel, batch=b, **static),
             grid=(n, n_tiles),
-            in_specs=[feat, feat, *weight_specs, mask_spec, feat],
-            out_specs=(
-                feat, feat,
-                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-                stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-                stream_spec((num_heads, d, c)), stream_spec((1, c)),
-                stream_spec((tp, tp)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
-                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
-                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, c, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, 1, d), f32),
-                jax.ShapeDtypeStruct((s, num_heads, d, c), f32),
-                jax.ShapeDtypeStruct((s, 1, c), f32),
-                jax.ShapeDtypeStruct((s, tp, tp), f32),
-            ),
+            in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec, feat],
+            out_specs=(*([feat] * n_feat_grads), *grad_specs),
+            out_shape=(*([feat_shape] * n_feat_grads), *grad_shapes),
             interpret=interpret,
-        )(
-            xw, kvw,
-            split_heads_w(wq), split_heads_b(bq),
-            split_heads_w(wk), split_heads_b(bk),
-            split_heads_w(wv), split_heads_b(bv),
-            split_heads_wp(wp), bp[:, None, :], bias_p,
-            mask_arr, gw,
-        )
-        gx, gkv, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias = outs
+        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, gw)
+        feat_grads = outs[:n_feat_grads]
+        gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias = outs[n_feat_grads:]
 
         def unsplit_w(a):  # (S, heads, C, d) -> (S, C, inner)
             return a.transpose(0, 2, 1, 3).reshape(s, c, inner)
 
-        gx = from_padded_windows(gx.reshape(s, b * n_rows, n_w, tp, c))
-        gkv = from_padded_windows(gkv.reshape(s, b * n_rows, n_w, tp, c))
+        feat_grads = tuple(
+            from_padded_windows(fg.reshape(s, b * n_rows, n_w, tp, c))
+            for fg in feat_grads
+        )
         return (
-            gx, gkv,
+            feat_grads,
             unsplit_w(gwq).astype(wq.dtype), gbq.reshape(s, inner).astype(bq.dtype),
             unsplit_w(gwk).astype(wk.dtype), gbk.reshape(s, inner).astype(bk.dtype),
             unsplit_w(gwv).astype(wv.dtype), gbv.reshape(s, inner).astype(bv.dtype),
@@ -462,12 +479,12 @@ def pallas_window_attention(
         )
 
     @jax.custom_vjp
-    def core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
-        return _forward(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    def core(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+        return _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
 
     def core_fwd(*args):
         return _forward(*args), args
 
     core.defvjp(core_fwd, _backward)
-    out = core(x, kv, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
-    return out
+    feats = (x,) if same_kv else (x, kv)
+    return core(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
