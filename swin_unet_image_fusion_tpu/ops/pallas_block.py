@@ -39,7 +39,7 @@ from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 LN_EPS = 1e-5
 
 
-def _block_fwd_kernel(
+def _block_fwd_body(
     x_ref,        # (1, TILE, TP, C) raw (rolled, padded-window) stream-s features
     kv_ref,       # (1, TILE, TP, C) raw features of the kv stream (flip(x) if cross)
     ln1s_ref,     # (1, 1, C) LN1 scale, stream s
@@ -82,7 +82,10 @@ def _block_fwd_kernel(
         return an * s_ref[0, 0].astype(jnp.float32) + b_ref[0, 0].astype(jnp.float32)
 
     ln_x = layer_norm(x, ln1s_ref, ln1b_ref).astype(dtype)
-    ln_kv = layer_norm(kv, ln1kvs_ref, ln1kvb_ref).astype(dtype)
+    if kv_ref is x_ref and ln1kvs_ref is ln1s_ref:
+        ln_kv = ln_x  # self mode: reuse the normalised strip
+    else:
+        ln_kv = layer_norm(kv, ln1kvs_ref, ln1kvb_ref).astype(dtype)
 
     bias = bias_ref[0].astype(jnp.float32)
     mask = mask_ref[...]
@@ -172,7 +175,7 @@ def _ln_bwd(g_out, xhat, inv, scale):
     return g_a, g_scale, g_bias
 
 
-def _block_bwd_kernel(
+def _block_bwd_body(
     x_ref, kv_ref,
     ln1s_ref, ln1b_ref, ln1kvs_ref, ln1kvb_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wp_ref, bp_ref,
@@ -246,7 +249,10 @@ def _block_bwd_kernel(
 
     # ---- recompute forward ----
     ln_x, xhat1, inv1 = _ln_fwd(x, s1, b1)
-    ln_kv, xhat1kv, inv1kv = _ln_fwd(kv, s1o, b1o)
+    if gkv_ref is None:
+        ln_kv, xhat1kv, inv1kv = ln_x, xhat1, inv1  # self mode
+    else:
+        ln_kv, xhat1kv, inv1kv = _ln_fwd(kv, s1o, b1o)
 
     # attention fwd per head, keeping per-head residuals in a python list (static)
     heads_res = []
@@ -321,16 +327,65 @@ def _block_bwd_kernel(
 
     gbias_ref[0] += g_bias_acc
 
-    g_x_ln, g_s1, g_b1 = _ln_bwd(g_lnx, xhat1, inv1, s1)
-    gln1s_q_ref[0, 0] += g_s1
-    gln1b_q_ref[0, 0] += g_b1
-    g_kv_ln, g_s1o, g_b1o = _ln_bwd(g_lnkv, xhat1kv, inv1kv, s1o)
-    gln1s_kv_ref[0, 0] += g_s1o
-    gln1b_kv_ref[0, 0] += g_b1o
+    if gkv_ref is None:
+        # self mode: q-side and kv-side LN gradients combine through the same LN
+        g_x_ln, g_s1, g_b1 = _ln_bwd(g_lnx + g_lnkv, xhat1, inv1, s1)
+        gln1s_q_ref[0, 0] += g_s1
+        gln1b_q_ref[0, 0] += g_b1
+        gln1s_kv_ref[0, 0] += jnp.zeros_like(g_s1)
+        gln1b_kv_ref[0, 0] += jnp.zeros_like(g_b1)
+        g_x_total = g_y + g_x_ln
+        gx_ref[...] = g_x_total.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+    else:
+        g_x_ln, g_s1, g_b1 = _ln_bwd(g_lnx, xhat1, inv1, s1)
+        gln1s_q_ref[0, 0] += g_s1
+        gln1b_q_ref[0, 0] += g_b1
+        g_kv_ln, g_s1o, g_b1o = _ln_bwd(g_lnkv, xhat1kv, inv1kv, s1o)
+        gln1s_kv_ref[0, 0] += g_s1o
+        gln1b_kv_ref[0, 0] += g_b1o
+        g_x_total = g_y + g_x_ln  # residual + LN1 path
+        gx_ref[...] = g_x_total.reshape(1, tile, tp, c).astype(gx_ref.dtype)
+        gkv_ref[...] = g_kv_ln.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
 
-    g_x_total = g_y + g_x_ln  # residual + LN1 path
-    gx_ref[...] = g_x_total.reshape(1, tile, tp, c).astype(gx_ref.dtype)
-    gkv_ref[...] = g_kv_ln.reshape(1, tile, tp, c).astype(gkv_ref.dtype)
+
+def _block_fwd_kernel(*refs, **kw):
+    (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+    _block_fwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv,
+                    wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, out, **kw)
+
+
+def _block_fwd_kernel_self(*refs, **kw):
+    (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+    _block_fwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk, wv, bv,
+                    wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, out, **kw)
+
+
+def _block_bwd_kernel(*refs, **kw):
+    (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+     gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+     gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+     gln2s, gln2b, gw1, gb1, gw2, gb2) = refs
+    _block_bwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv,
+                    wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+                    gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+                    gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+                    gln2s, gln2b, gw1, gb1, gw2, gb2, **kw)
+
+
+def _block_bwd_kernel_self(*refs, **kw):
+    (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+     gx, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+     gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+     gln2s, gln2b, gw1, gb1, gw2, gb2) = refs
+    _block_bwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk, wv, bv,
+                    wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+                    gx, None, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+                    gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+                    gln2s, gln2b, gw1, gb1, gw2, gb2, **kw)
 
 
 def pallas_fused_block(
@@ -374,7 +429,7 @@ def pallas_fused_block(
 
     if shift:
         x = cyclic_shift(x, window, reverse=False)
-    kv = jnp.flip(x, axis=0) if cross else x
+    kv = jnp.flip(x, axis=0) if cross else None  # None -> single-DMA self variant
 
     mask_np, mask_nwin = _full_mask(mask, t, tp)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
@@ -394,7 +449,7 @@ def pallas_fused_block(
         return jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
 
     xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
-    kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c)
+    kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c) if cross else None
 
     feat = pl.BlockSpec(
         (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
@@ -419,11 +474,17 @@ def pallas_fused_block(
 
     kv_is_other = cross and s == 2
 
+    # self mode drops the kv strip and the other-stream LN1 weight inputs entirely
+    feat_inputs = [feat, feat] if cross else [feat]
+    ln1kv_inputs = (
+        [stream_spec((1, c), other_stream=kv_is_other),
+         stream_spec((1, c), other_stream=kv_is_other)]
+        if cross else []
+    )
     fwd_in_specs = [
-        feat, feat,
+        *feat_inputs,
         stream_spec((1, c)), stream_spec((1, c)),
-        stream_spec((1, c), other_stream=kv_is_other),
-        stream_spec((1, c), other_stream=kv_is_other),
+        *ln1kv_inputs,
         stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
         stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
         stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
@@ -435,12 +496,19 @@ def pallas_fused_block(
         stream_spec((hd, c)), stream_spec((1, c)),
     ]
 
-    def _forward(xw, kvw, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+    def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
                  bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
+        xw, kvw = (feats if cross else (feats[0], None))
         mask_arr = jnp.asarray(mask_np)
+        if cross:
+            args = (xw, kvw, ln1s, ln1b, ln1s, ln1b)
+            kernel = _block_fwd_kernel
+        else:
+            args = (xw, ln1s, ln1b)
+            kernel = _block_fwd_kernel_self
         return pl.pallas_call(
             functools.partial(
-                _block_fwd_kernel,
+                kernel,
                 num_heads=num_heads,
                 dims_per_head=d,
                 activation=activation,
@@ -451,23 +519,30 @@ def pallas_fused_block(
             out_shape=jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
             interpret=interpret,
         )(
-            xw, kvw, ln1s, ln1b, ln1s, ln1b,
+            *args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
         )
 
     def _backward(res, g):
-        (xw, kvw, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+        (feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
          bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
+        xw, kvw = (feats if cross else (feats[0], None))
         mask_arr = jnp.asarray(mask_np)
         f32 = jnp.float32
 
         def out_stream_spec(shape, other_stream=False):
             return stream_spec(shape, other_stream=other_stream)
 
+        if cross:
+            in_args = (xw, kvw, ln1s, ln1b, ln1s, ln1b)
+            kernel = _block_bwd_kernel
+        else:
+            in_args = (xw, ln1s, ln1b)
+            kernel = _block_bwd_kernel_self
         outs = pl.pallas_call(
             functools.partial(
-                _block_bwd_kernel,
+                kernel,
                 num_heads=num_heads,
                 dims_per_head=d,
                 activation=activation,
@@ -476,7 +551,7 @@ def pallas_fused_block(
             grid=(n, n_tiles),
             in_specs=[*fwd_in_specs, feat],
             out_specs=(
-                feat, feat,
+                *feat_inputs,
                 out_stream_spec((1, c)), out_stream_spec((1, c)),
                 out_stream_spec((1, c), other_stream=kv_is_other),
                 out_stream_spec((1, c), other_stream=kv_is_other),
@@ -490,8 +565,8 @@ def pallas_fused_block(
                 out_stream_spec((hd, c)), out_stream_spec((1, c)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
-                jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
+                *([jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype)]
+                  * len(feat_inputs)),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
@@ -514,21 +589,22 @@ def pallas_fused_block(
             ),
             interpret=interpret,
         )(
-            xw, kvw, ln1s, ln1b, ln1s, ln1b,
+            *in_args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
             g,
         )
-        (gxw, gkvw,
-         gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+        n_fg = len(feat_inputs)
+        feat_grads = tuple(outs[:n_fg])
+        (gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
          gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
-         gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs
+         gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs[n_fg:]
 
         def cast(a, ref):
             return a.astype(ref.dtype)
 
         return (
-            gxw, gkvw,
+            feat_grads,
             cast(gln1s_q + gln1s_kv, ln1s), cast(gln1b_q + gln1b_kv, ln1b),
             cast(gwq, wqh), cast(gbq, bqh),
             cast(gwk, wkh), cast(gbk, bkh),
@@ -549,8 +625,9 @@ def pallas_fused_block(
 
     core.defvjp(core_fwd, _backward)
 
+    feats = (xw, kvw) if cross else (xw,)
     out = core(
-        xw, kvw,
+        feats,
         ln1_scale[:, None, :], ln1_bias[:, None, :],
         split_heads_w(attn["wq"]), split_heads_b(attn["bq"]),
         split_heads_w(attn["wk"]), split_heads_b(attn["bk"]),
