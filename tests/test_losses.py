@@ -126,3 +126,75 @@ def test_texture_term_canny_mode(rng):
     a = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
     val = float(texture_term(cfg, a, a, a * 0.5))
     assert np.isfinite(val) and val >= 0
+
+
+def test_ms_ssim_l1_matches_independent_torch_implementation(rng):
+    """Golden check of ops/ssim.py::ms_ssim_l1_loss against a torch implementation of
+    the same objective (Zhao et al. mixed MS-SSIM + Gaussian-weighted L1, the semantics
+    of kornia.losses.MS_SSIMLoss) written independently with torch ops."""
+    import torch
+    import torch.nn.functional as F
+
+    from swin_unet_image_fusion_tpu.ops.ssim import gaussian_kernel_2d
+
+    sigmas = [0.5, 1.0, 2.0, 4.0, 8.0]
+    fs = int(4 * sigmas[-1] + 1)  # 33
+    pad = int(2 * sigmas[-1])  # 16
+    c1, c2 = 0.01**2, 0.03**2
+    alpha, comp = 0.025, 200.0
+
+    x_np = rng.random((2, 1, 48, 48)).astype(np.float32)
+    y_np = np.clip(x_np + 0.1 * rng.standard_normal((2, 1, 48, 48)).astype(np.float32), 0, 1)
+
+    kernels = torch.stack(
+        [torch.from_numpy(gaussian_kernel_2d(fs, s)) for s in sigmas]
+    ).unsqueeze(1)  # (5, 1, fs, fs)
+
+    x, y = torch.from_numpy(x_np), torch.from_numpy(y_np)
+    mux = F.conv2d(x, kernels, padding=pad)   # (B, 5, H, W)
+    muy = F.conv2d(y, kernels, padding=pad)
+    sx = F.conv2d(x * x, kernels, padding=pad) - mux * mux
+    sy = F.conv2d(y * y, kernels, padding=pad) - muy * muy
+    sxy = F.conv2d(x * y, kernels, padding=pad) - mux * muy
+    l = (2 * mux * muy + c1) / (mux**2 + muy**2 + c1)
+    cs = (2 * sxy + c2) / (sx + sy + c2)
+    lm = l[:, -1]
+    pics = cs.prod(dim=1)
+    loss_ms = 1 - lm * pics
+    g_l1 = F.conv2d((x - y).abs(), kernels[-1:], padding=pad).squeeze(1)
+    ref = float((comp * (alpha * loss_ms + (1 - alpha) * g_l1)).mean())
+
+    from swin_unet_image_fusion_tpu.ops.ssim import ms_ssim_l1_loss
+
+    ours = float(ms_ssim_l1_loss(
+        jnp.asarray(x_np.transpose(0, 2, 3, 1)), jnp.asarray(y_np.transpose(0, 2, 3, 1))
+    ))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_single_scale_ssim_matches_independent_torch(rng):
+    """Golden check of the single-scale SSIM (Gaussian 11x11 sigma 1.5, 'same'
+    zero-padding) against an independent torch computation."""
+    import torch
+    import torch.nn.functional as F
+
+    from swin_unet_image_fusion_tpu.ops.ssim import gaussian_kernel_2d
+
+    k = torch.from_numpy(gaussian_kernel_2d(11, 1.5)).unsqueeze(0).unsqueeze(0)
+    c1, c2 = 0.01**2, 0.03**2
+    x_np = rng.random((1, 1, 32, 32)).astype(np.float32)
+    y_np = rng.random((1, 1, 32, 32)).astype(np.float32)
+    x, y = torch.from_numpy(x_np), torch.from_numpy(y_np)
+    xp = F.pad(x, (5, 5, 5, 5))
+    yp = F.pad(y, (5, 5, 5, 5))
+    mux, muy = F.conv2d(xp, k), F.conv2d(yp, k)
+    sx = F.conv2d(xp * xp, k) - mux**2
+    sy = F.conv2d(yp * yp, k) - muy**2
+    sxy = F.conv2d(xp * yp, k) - mux * muy
+    s = ((2 * mux * muy + c1) * (2 * sxy + c2)) / ((mux**2 + muy**2 + c1) * (sx + sy + c2))
+    ref = float(((1 - s) / 2).mean())
+
+    ours = float(ssim_loss(
+        jnp.asarray(x_np.transpose(0, 2, 3, 1)), jnp.asarray(y_np.transpose(0, 2, 3, 1))
+    ))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
