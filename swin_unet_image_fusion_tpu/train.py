@@ -53,7 +53,8 @@ def create_train_state(
 ) -> TrainState:
     model = SwinFusionUNet(cfg.model)
     dummy = jnp.zeros((1, *sample_hw, 1), jnp.float32)
-    variables = model.init(rng_key, dummy, dummy)
+    # jit the init: eager init dispatches op-by-op (minutes through a TPU tunnel)
+    variables = jax.jit(model.init)(rng_key, dummy, dummy)
     tx = make_optimizer(cfg.optim, iters_per_epoch)
     return TrainState.create(
         apply_fn=model.apply,
