@@ -118,6 +118,21 @@ class Trainer:
     def __init__(self, cfg: Config, use_mesh: bool = True):
         self.cfg = cfg
 
+        # data-parallel mesh decided first: the global batch must shard evenly
+        self.mesh = data_mesh(cfg.parallel.num_data, cfg.parallel.data_axis) if use_mesh else None
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        batch_size = cfg.optim.batch_size
+        if n_dev > 1 and batch_size % n_dev:
+            adjusted = max(n_dev, (batch_size // n_dev) * n_dev)
+            print(
+                yellow(
+                    f"batch_size {batch_size} does not divide the {n_dev}-device data "
+                    f"mesh; using {adjusted}"
+                )
+            )
+            batch_size = adjusted
+        self.batch_size = batch_size
+
         # data (reference a016_train.py:45-63)
         self.dataset = FusionPairDataset(
             is_test=False, dataset_folder=cfg.data.training_dataset_folder, cfg=cfg.data,
@@ -127,11 +142,11 @@ class Trainer:
             len(self.dataset), cfg.optim.training_set_ratio, seed=cfg.seed
         )
         self.train_loader = BatchLoader(
-            self.dataset, tr_idx, cfg.optim.batch_size, shuffle=True,
+            self.dataset, tr_idx, batch_size, shuffle=True,
             drop_last=cfg.optim.drop_last, seed=cfg.seed,
         )
         self.val_loader = BatchLoader(
-            self.dataset, val_idx, cfg.optim.batch_size, shuffle=True,
+            self.dataset, val_idx, batch_size, shuffle=True,
             drop_last=cfg.optim.drop_last, seed=cfg.seed + 1,
         )
         self.iters_per_epoch = max(len(self.train_loader), 1)
@@ -141,8 +156,7 @@ class Trainer:
             cfg, jax.random.PRNGKey(cfg.seed), self.iters_per_epoch, cfg.data.crop_size
         )
 
-        # data-parallel mesh: batch sharded, state replicated (SURVEY.md §2)
-        self.mesh = data_mesh(cfg.parallel.num_data, cfg.parallel.data_axis) if use_mesh else None
+        # data-parallel sharding: batch sharded, state replicated (SURVEY.md §2)
         if self.mesh is not None and self.mesh.size > 1:
             self.batch_sharding = data_sharding(self.mesh, cfg.parallel.data_axis)
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))

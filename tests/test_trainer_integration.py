@@ -80,3 +80,19 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+def test_trainer_adjusts_batch_for_mesh(cfg, tmp_path):
+    """A batch size that doesn't divide the data mesh is rounded to shard evenly."""
+    import dataclasses
+    import jax
+
+    if len(jax.devices()) < 8:
+        return
+    cfg8 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, batch_size=6, training_set_ratio=0.75)
+    )
+    from swin_unet_image_fusion_tpu.train import Trainer
+
+    trainer = Trainer(cfg8, use_mesh=True)  # 8 virtual devices
+    assert trainer.batch_size % trainer.mesh.size == 0
