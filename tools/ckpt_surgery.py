@@ -38,20 +38,9 @@ def prune(tree, dotted: str):
 
 def prune_matching_opt_state(opt_state, params_before, params_after):
     """optax state (e.g. Adam mu/nu) mirrors the param tree; prune the same paths."""
-    import jax
-
     before = {p for p, _ in _flatten(params_before)}
     after = {p for p, _ in _flatten(params_after)}
     dropped = before - after
-
-    def prune_like(node):
-        if isinstance(node, dict):
-            out = {}
-            for k, v in node.items():
-                pruned = prune_like(v)
-                out[k] = pruned
-            return out
-        return node
 
     # optax ScaleByAdamState stores mu/nu as the same dict structure
     def walk(state):
