@@ -184,3 +184,34 @@ def test_pallas_fused_block_grads(rng, shift, cross):
             np.asarray(b2), np.asarray(a), atol=1e-4, rtol=1e-3,
             err_msg=f"shift={shift} cross={cross} param={jax.tree_util.keystr(path)}",
         )
+
+
+def test_pallas_model_under_data_sharding(rng):
+    """The pallas-kernel model runs correctly with batch-sharded inputs on a mesh
+    (GSPMD handles the pallas_call; output stays batch-sharded)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+    from swin_unet_image_fusion_tpu.parallel.mesh import (
+        data_mesh, data_sharding, replicated_sharding,
+    )
+
+    cfg = ModelConfig(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+        attention_impl="pallas_interpret",
+    )
+    model = SwinFusionUNet(cfg)
+    ir = jnp.asarray(rng.random((8, 28, 28, 1), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), ir[:1], ir[:1])
+    ref = model.apply(variables, ir, ir)
+
+    mesh = data_mesh(8)
+    out = jax.jit(model.apply)(
+        jax.device_put(variables, replicated_sharding(mesh)),
+        jax.device_put(ir, data_sharding(mesh)),
+        jax.device_put(ir, data_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert out.sharding.is_equivalent_to(data_sharding(mesh), out.ndim)
