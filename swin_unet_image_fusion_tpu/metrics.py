@@ -33,33 +33,32 @@ def ms_ssim_index(
     """
     import jax
 
+    from .ops.ssim import _depthwise_conv_nhwc, _ssim_kernel
+
     x = img1.astype(jnp.float32)
     y = img2.astype(jnp.float32)
     k = (0.01, 0.03)
+    c1 = (k[0] * max_val) ** 2
     c2 = (k[1] * max_val) ** 2
     mcs = []
     levels = len(weights)
     for level in range(levels):
-        s = ssim_index(x, y, max_val=max_val, padding="valid")
-        # split luminance*cs: recompute cs directly for intermediate levels
+        kernel = jnp.asarray(_ssim_kernel(x.shape[-1], 11, 1.5))
+        mux = _depthwise_conv_nhwc(x, kernel, "VALID")
+        muy = _depthwise_conv_nhwc(y, kernel, "VALID")
+        sigmax2 = _depthwise_conv_nhwc(x * x, kernel, "VALID") - mux * mux
+        sigmay2 = _depthwise_conv_nhwc(y * y, kernel, "VALID") - muy * muy
+        sigmaxy = _depthwise_conv_nhwc(x * y, kernel, "VALID") - mux * muy
+        cs_map = (2 * sigmaxy + c2) / (sigmax2 + sigmay2 + c2)
         if level < levels - 1:
-            # cs component only
-            from .ops.ssim import _depthwise_conv_nhwc, _ssim_kernel
-
-            kernel = jnp.asarray(_ssim_kernel(x.shape[-1], 11, 1.5))
-            mux = _depthwise_conv_nhwc(x, kernel, "VALID")
-            muy = _depthwise_conv_nhwc(y, kernel, "VALID")
-            sigmax2 = _depthwise_conv_nhwc(x * x, kernel, "VALID") - mux * mux
-            sigmay2 = _depthwise_conv_nhwc(y * y, kernel, "VALID") - muy * muy
-            sigmaxy = _depthwise_conv_nhwc(x * y, kernel, "VALID") - mux * muy
-            cs = ((2 * sigmaxy + c2) / (sigmax2 + sigmay2 + c2)).mean()
-            mcs.append(jnp.maximum(cs, 0.0))
+            mcs.append(jnp.maximum(cs_map.mean(), 0.0))
             pool = lambda a: jax.lax.reduce_window(
                 a, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
             x, y = pool(x), pool(y)
         else:
-            mcs.append(jnp.maximum(s.mean(), 0.0))
+            l_map = (2 * mux * muy + c1) / (mux * mux + muy * muy + c1)
+            mcs.append(jnp.maximum((l_map * cs_map).mean(), 0.0))
     out = jnp.asarray(1.0, jnp.float32)
     for w, v in zip(weights, mcs):
         out = out * v**w
