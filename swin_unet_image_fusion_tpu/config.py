@@ -129,6 +129,9 @@ class ParallelConfig:
     space_axis: str = "space"
     num_data: int = 0  # 0 -> use all available devices on a 1-D data mesh
     num_space: int = 1
+    # DP implementation: False -> jit + GSPMD (default); True -> explicit shard_map
+    # with psum gradient all-reduce (parallel/shard_map_dp.py)
+    use_shard_map: bool = False
 
 
 @dataclass(frozen=True)

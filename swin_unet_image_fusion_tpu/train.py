@@ -163,7 +163,14 @@ class Trainer:
         else:
             self.batch_sharding = None
 
-        self.train_step = make_train_step(cfg)
+        if cfg.parallel.use_shard_map and self.mesh is not None and self.mesh.size > 1:
+            from .parallel.shard_map_dp import make_shard_map_train_step
+
+            self.train_step = make_shard_map_train_step(
+                cfg, self.mesh, cfg.parallel.data_axis
+            )
+        else:
+            self.train_step = make_train_step(cfg)
         self.eval_step = make_eval_step(cfg)
 
         self.schedule = cosine_warm_restarts_schedule(
