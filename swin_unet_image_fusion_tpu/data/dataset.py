@@ -135,6 +135,11 @@ class FusionPairDataset:
         self.cfg = cfg
         self.dataset_folder = Path(dataset_folder)
         self.ir_paths, self.vis_paths = collect_pair_paths(dataset_folder)
+        if not self.ir_paths:
+            raise FileNotFoundError(
+                f"no image pairs found: expected ir/ and vis/ subfolders under "
+                f"'{dataset_folder}' (reference layout, a015_dataset.py:38-50)"
+            )
         if len(self.ir_paths) != len(self.vis_paths):
             raise ValueError(
                 f"ir/vis count mismatch: {len(self.ir_paths)} vs {len(self.vis_paths)}"
