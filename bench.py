@@ -43,27 +43,39 @@ def main():
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    cfg = ModelConfig(compute_dtype=dtype, attention_impl=impl)
-    model = SwinFusionUNet(cfg)
-
     rng = np.random.default_rng(0)
     ir = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
     vis = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, vis)
+    variables = jax.jit(SwinFusionUNet(ModelConfig()).init)(
+        jax.random.PRNGKey(0), ir[:1], vis[:1]
+    )
 
-    def chained(variables, ir, vis):
-        def body(_, carry):
-            a, b = carry
-            fused = jnp.clip(model.apply(variables, a, b, train=False), 0.0, 1.0)
-            return (b, fused)  # data dependency across iterations
+    def build(impl_name):
+        model = SwinFusionUNet(ModelConfig(compute_dtype=dtype, attention_impl=impl_name))
 
-        a, b = jax.lax.fori_loop(0, chain, body, (ir, vis))
-        return b.sum()  # scalar -> cheap host materialisation
+        def chained(variables, ir, vis):
+            def body(_, carry):
+                a, b = carry
+                fused = jnp.clip(model.apply(variables, a, b, train=False), 0.0, 1.0)
+                return (b, fused)  # data dependency across iterations
 
-    fuse = jax.jit(chained)
+            a, b = jax.lax.fori_loop(0, chain, body, (ir, vis))
+            return b.sum()  # scalar -> cheap host materialisation
 
-    # warmup / compile
-    float(fuse(variables, ir, vis))
+        return jax.jit(chained)
+
+    # warmup / compile — fall back to the XLA composition if the fused-kernel
+    # compile fails (keeps the benchmark recordable even on compiler flakiness)
+    fuse = build(impl)
+    try:
+        float(fuse(variables, ir, vis))
+    except Exception as e:
+        if impl == "jnp":
+            raise
+        print(f"# {impl} compile failed ({type(e).__name__}); falling back to jnp", flush=True)
+        impl = "jnp"
+        fuse = build(impl)
+        float(fuse(variables, ir, vis))
 
     best = float("inf")
     for _ in range(repeats):
