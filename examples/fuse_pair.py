@@ -16,11 +16,15 @@ import numpy as np
 
 
 def main():
-    ir_path, vis_path, out_path = sys.argv[1:4]
-    ckpt = sys.argv[4] if len(sys.argv) > 4 else None
+    args = [a for a in sys.argv[1:] if a != "--cpu"]
+    ir_path, vis_path, out_path = args[:3]
+    ckpt = args[3] if len(args) > 3 else None
 
     import cv2
     import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     from swin_unet_image_fusion_tpu.config import Config
     from swin_unet_image_fusion_tpu.infer import Fuser, save_image
