@@ -36,8 +36,11 @@ class ModelConfig:
     # Compute dtype for the hot path. Params are always fp32; "bfloat16" enables the
     # MXU-native mixed-precision path, "float32" is the parity mode.
     compute_dtype: str = "float32"
-    # Window-attention implementation: "jnp" (XLA-fused composition, differentiable) or
-    # "pallas" (fused TPU kernel, inference path); "pallas_interpret" for CPU tests.
+    # Window-attention implementation (all differentiable via custom VJPs):
+    #   "jnp"          — XLA-fused composition (default; safest to compile)
+    #   "pallas"       — fused attention kernel (2x faster e2e at 512^2)
+    #   "pallas_block" — fully fused LN+attention+MLP block kernel
+    #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "jnp"
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
     # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger
