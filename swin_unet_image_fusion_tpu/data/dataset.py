@@ -256,18 +256,30 @@ def device_prefetch(
 
     Array leaves go to the device (optionally with a NamedSharding for DP input
     sharding); path lists stay on host. The TPU step never blocks on cv2 decode.
+
+    Multi-host: when the sharding spans processes (a DCN-connected slice), each host
+    feeds its *local* batch shard and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the JAX-native equivalent of a
+    per-rank DataLoader + DistributedSampler.
     """
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    multi_host = sharding is not None and jax.process_count() > 1
 
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-        arrays = (
-            jax.device_put(arrays, sharding) if sharding is not None else jax.device_put(arrays)
-        )
+        if multi_host:
+            arrays = {
+                k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in arrays.items()
+            }
+        elif sharding is not None:
+            arrays = jax.device_put(arrays, sharding)
+        else:
+            arrays = jax.device_put(arrays)
         return {**arrays, **rest}
 
     def producer():

@@ -41,15 +41,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def maybe_initialize_distributed() -> int:
     """Multi-host (DCN) wiring: call once per process before building meshes.
 
-    Uses ``jax.distributed.initialize`` when the standard coordinator env vars are set
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU pod
-    environment that JAX auto-detects). No-op on a single host. Returns the process
-    index.
+    Joins the slice via ``jax.distributed.initialize`` when the coordinator env vars
+    are set: JAX_COORDINATOR_ADDRESS, plus JAX_NUM_PROCESSES / JAX_PROCESS_ID outside
+    environments JAX auto-detects (SLURM, TPU pods, k8s). Must run before the first
+    backend use — querying ``jax.devices()``/``process_count()`` first would
+    initialize a single-process backend. No-op on a single host / when already
+    initialized. Returns the process index.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        try:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc) if nproc else None,
+                process_id=int(pid) if pid else None,
+            )
+        except RuntimeError:
+            pass  # already initialized (e.g. by the launcher)
     return jax.process_index()
 
 

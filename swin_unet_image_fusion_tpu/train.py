@@ -35,7 +35,13 @@ from .data.dataset import BatchLoader, FusionPairDataset, device_prefetch, split
 from .losses import total_fusion_loss
 from .models.unet import SwinFusionUNet
 from .optim import cosine_warm_restarts_schedule, make_optimizer
-from .parallel.mesh import data_mesh, data_sharding, replicated_sharding
+from .parallel.mesh import (
+    data_mesh,
+    data_sharding,
+    maybe_initialize_distributed,
+    process_local_shard,
+    replicated_sharding,
+)
 from .utils.meters import LossMeter
 from .utils.term import cyan, yellow
 
@@ -118,16 +124,22 @@ class Trainer:
     def __init__(self, cfg: Config, use_mesh: bool = True):
         self.cfg = cfg
 
+        # multi-host (DCN) wiring: no-op on a single host, otherwise joins the slice
+        # before any mesh is built so jax.devices() sees every chip
+        maybe_initialize_distributed()
+        n_proc = jax.process_count()
+
         # data-parallel mesh decided first: the global batch must shard evenly
         self.mesh = data_mesh(cfg.parallel.num_data, cfg.parallel.data_axis) if use_mesh else None
         n_dev = self.mesh.size if self.mesh is not None else 1
         batch_size = cfg.optim.batch_size
-        if n_dev > 1 and batch_size % n_dev:
-            adjusted = max(n_dev, (batch_size // n_dev) * n_dev)
+        divisor = max(n_dev, n_proc)
+        if divisor > 1 and batch_size % divisor:
+            adjusted = max(divisor, (batch_size // divisor) * divisor)
             print(
                 yellow(
                     f"batch_size {batch_size} does not divide the {n_dev}-device data "
-                    f"mesh; using {adjusted}"
+                    f"mesh ({n_proc} hosts); using {adjusted}"
                 )
             )
             batch_size = adjusted
@@ -141,13 +153,20 @@ class Trainer:
         tr_idx, val_idx = split_train_val(
             len(self.dataset), cfg.optim.training_set_ratio, seed=cfg.seed
         )
+        # multi-host: each process loads only its shard of the index lists and a
+        # per-host slice of the global batch; device_prefetch reassembles the global
+        # array (jax.make_array_from_process_local_data)
+        local_batch = batch_size // n_proc
+        if n_proc > 1:
+            tr_idx = process_local_shard(tr_idx)
+            val_idx = process_local_shard(val_idx)
         self.train_loader = BatchLoader(
-            self.dataset, tr_idx, batch_size, shuffle=True,
-            drop_last=cfg.optim.drop_last, seed=cfg.seed,
+            self.dataset, tr_idx, local_batch, shuffle=True,
+            drop_last=cfg.optim.drop_last, seed=cfg.seed + jax.process_index(),
         )
         self.val_loader = BatchLoader(
-            self.dataset, val_idx, batch_size, shuffle=True,
-            drop_last=cfg.optim.drop_last, seed=cfg.seed + 1,
+            self.dataset, val_idx, local_batch, shuffle=True,
+            drop_last=cfg.optim.drop_last, seed=cfg.seed + 1 + jax.process_index(),
         )
         self.iters_per_epoch = max(len(self.train_loader), 1)
 
@@ -181,10 +200,11 @@ class Trainer:
         self.train_meter = LossMeter()
         self.val_meter = LossMeter()
 
-        # logging
+        # logging — host-side artifacts (TB, PNGs, checkpoints) only on process 0
+        self.is_main_process = jax.process_index() == 0
         self.current_epoch = 1
         self.iter_in_epoch = 1
-        self.writer = self._make_writer()
+        self.writer = self._make_writer() if self.is_main_process else None
         self._pending_logs = []  # (step, device term dict) fetched lazily
 
     # ----------------------------------------------------------------- logging
@@ -277,14 +297,22 @@ class Trainer:
         ):
             fusion, terms = self.eval_step(self.state, batch["ir"], batch["vis"])
             self.val_meter.record({k: float(v) for k, v in terms.items()})
-            if i == 1:
+            if i == 1 and self.is_main_process:
+                # multi-host: only the locally-addressable shard is dumped to PNG
+                to_host = (
+                    (lambda a: np.concatenate([np.asarray(s.data) for s in a.addressable_shards]))
+                    if jax.process_count() > 1
+                    else np.asarray
+                )
                 self.save_vali_grid(
-                    np.asarray(batch["ir"]), np.asarray(batch["vis"]), np.asarray(fusion)
+                    to_host(batch["ir"]), to_host(batch["vis"]), to_host(fusion)
                 )
 
     # ------------------------------------------------------------- artifacts
     def save_vali_grid(self, ir: np.ndarray, vis: np.ndarray, fusion: np.ndarray):
         """(ir | vis | fused) image grid PNG (reference a016_train.py:252-304)."""
+        if not self.is_main_process:
+            return
         try:
             import matplotlib
 
@@ -313,11 +341,23 @@ class Trainer:
         print(cyan(f"Validation results saved to '{path}'"))
 
     # ----------------------------------------------------------- checkpointing
+    def _synced_time_str(self) -> str:
+        """Timestamp agreed across hosts (a minute boundary must not split the name)."""
+        if jax.process_count() == 1:
+            return get_time_str()
+        from jax.experimental import multihost_utils
+
+        local = np.frombuffer(get_time_str().encode(), np.uint8)  # fixed 11 bytes
+        return bytes(np.asarray(multihost_utils.broadcast_one_to_all(local))).decode()
+
     def save_checkpoint(self):
+        # Orbax saves are multihost-collective: EVERY process must call save() (the
+        # primary host writes, the rest participate in its barriers) — guarding this
+        # to process 0 deadlocks the slice.
         import orbax.checkpoint as ocp
 
         os.makedirs(self.cfg.log.save_model_to_folder, exist_ok=True)
-        name = f"{get_time_str()}_epoch{self.current_epoch}"
+        name = f"{self._synced_time_str()}_epoch{self.current_epoch}"
         path = os.path.abspath(os.path.join(self.cfg.log.save_model_to_folder, name))
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
@@ -330,7 +370,8 @@ class Trainer:
                     "epoch": self.current_epoch,
                 },
             )
-        print(yellow(f"State saved to '{path}'"))
+        if self.is_main_process:
+            print(yellow(f"State saved to '{path}'"))
         return path
 
     def load_checkpoint(self, path: str):
