@@ -128,7 +128,8 @@ def _block_fwd_body(
     ln_y = layer_norm(y, ln2s_ref, ln2b_ref).astype(dtype)
     hdn = mm(ln_y, w1_ref[0].astype(dtype)) + b1_ref[0, 0].astype(jnp.float32)
     if activation == "elu":
-        hdn = jax.nn.elu(hdn)
+        # jax.nn.elu lowers to expm1, which Mosaic TPU has no lowering for
+        hdn = jnp.where(hdn > 0, hdn, jnp.exp(jnp.minimum(hdn, 0.0)) - 1.0)
     elif activation == "relu":
         hdn = jax.nn.relu(hdn)
     elif activation == "gelu":
@@ -145,7 +146,10 @@ def _block_fwd_body(
 def _act_and_grad(z, activation):
     """activation(z) and d activation/dz."""
     if activation == "elu":
-        return jax.nn.elu(z), jnp.where(z > 0, 1.0, jnp.exp(z))
+        # expm1-free ELU (Mosaic TPU lacks an expm1 lowering); exp input clamped so
+        # the untaken branch cannot overflow
+        ez = jnp.exp(jnp.minimum(z, 0.0))
+        return jnp.where(z > 0, z, ez - 1.0), jnp.where(z > 0, 1.0, ez)
     if activation == "relu":
         return jax.nn.relu(z), (z > 0).astype(z.dtype)
     if activation == "gelu":
