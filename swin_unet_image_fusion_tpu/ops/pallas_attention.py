@@ -46,6 +46,15 @@ from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 
 T_PAD_MULTIPLE = 8  # sublane alignment
 
+# Mosaic's default scoped-VMEM limit is 16MiB; the deep stages (C=384, d=48, fp32
+# accumulators + per-head weight tiles) legitimately need more, and v5e has 128MiB
+# of VMEM. Same knob JAX's own flash-attention kernels raise.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def tpu_compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 def _padded_t(t: int) -> int:
     return ((t + T_PAD_MULTIPLE - 1) // T_PAD_MULTIPLE) * T_PAD_MULTIPLE
@@ -439,6 +448,7 @@ def pallas_window_attention(
             in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec],
             out_specs=feat,
             out_shape=feat_shape,
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr)
         return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))
@@ -456,6 +466,7 @@ def pallas_window_attention(
             in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec, feat],
             out_specs=(*([feat] * n_feat_grads), *grad_specs),
             out_shape=(*([feat_shape] * n_feat_grads), *grad_shapes),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, gw)
         feat_grads = outs[:n_feat_grads]

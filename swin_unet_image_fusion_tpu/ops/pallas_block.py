@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _full_mask, _padded_t, rows_per_tile
+from .pallas_attention import _full_mask, _padded_t, rows_per_tile, tpu_compiler_params
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 
 LN_EPS = 1e-5
@@ -521,6 +521,7 @@ def pallas_fused_block(
             in_specs=fwd_in_specs,
             out_specs=feat,
             out_shape=jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(
             *args,
@@ -591,6 +592,7 @@ def pallas_fused_block(
                 jax.ShapeDtypeStruct((s, hd, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
             ),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(
             *in_args,

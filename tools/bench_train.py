@@ -1,0 +1,90 @@
+"""Training-step benchmark on one chip: ms/step for a given impl/shape/batch.
+
+The reference training config is 224x224 crops at batch 20 (A000_CONFIG.py:19-26,
+a015_dataset.py:61-65). Timing uses the same chained-with-data-dependency +
+host-materialisation methodology as bench.py (block_until_ready alone is unreliable
+on the relayed TPU runtime).
+
+Env knobs: TRAIN_IMPL (jnp|pallas|pallas_block), TRAIN_HW, TRAIN_BATCH, TRAIN_DTYPE,
+TRAIN_REMAT (0|1), TRAIN_CHAIN, TRAIN_REPEATS.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swin_unet_image_fusion_tpu.config import Config, ModelConfig
+    from swin_unet_image_fusion_tpu.train import create_train_state, make_train_step
+
+    impl = os.environ.get("TRAIN_IMPL", "pallas")
+    hw = int(os.environ.get("TRAIN_HW", "224"))
+    batch = int(os.environ.get("TRAIN_BATCH", "20"))
+    dtype = os.environ.get("TRAIN_DTYPE", "bfloat16")
+    remat = os.environ.get("TRAIN_REMAT", "1") == "1"
+    chain = int(os.environ.get("TRAIN_CHAIN", "4"))
+    repeats = int(os.environ.get("TRAIN_REPEATS", "3"))
+
+    cfg = Config(
+        model=ModelConfig(compute_dtype=dtype, attention_impl=impl, remat=remat)
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0), iters_per_epoch=100,
+                               sample_hw=(hw, hw))
+
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.random((batch, hw, hw, 1), np.float32))
+    vis = jnp.asarray(rng.random((batch, hw, hw, 1), np.float32))
+
+    step_fn = make_train_step(cfg, donate=False)
+
+    def chained(state, ir, vis):
+        def body(_, carry):
+            st, loss = carry
+            st, terms = step_fn(st, ir, vis)
+            return st, terms["total_loss"]
+
+        st, loss = jax.lax.fori_loop(
+            0, chain, body, (state, jnp.float32(0.0))
+        )
+        return loss  # scalar -> host materialisation forces completion
+
+    fn = jax.jit(chained)
+    t0 = time.perf_counter()
+    first = float(fn(state, ir, vis))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(first), f"non-finite loss: {first}"
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(state, ir, vis))
+        best = min(best, time.perf_counter() - t0)
+
+    ms_per_step = best / chain * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": f"train step {hw}x{hw} bs={batch} ({dtype}, {impl}, remat={remat})",
+                "ms_per_step": round(ms_per_step, 1),
+                "pairs_per_sec": round(batch / (ms_per_step / 1e3), 2),
+                "loss": round(first, 5),
+                "compile_s": round(compile_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
