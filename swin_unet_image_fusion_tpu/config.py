@@ -40,6 +40,8 @@ class ModelConfig:
     #   "jnp"          — XLA-fused composition (default; safest to compile)
     #   "pallas"       — fused attention kernel (2x faster e2e at 512^2)
     #   "pallas_block" — fully fused LN+attention+MLP block kernel
+    #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
+    #                    HBM lane padding; inference-only), "pallas" at deep stages
     #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "jnp"
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):

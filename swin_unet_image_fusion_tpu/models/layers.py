@@ -337,6 +337,16 @@ class DualMLP(nn.Module):
         return x
 
 
+def pack_beneficial(c: int, w: int) -> bool:
+    """Whether the lane-packed C-major path wins for a stage: compare the (8, 128)
+    HBM tile padding of NHWC (C on lanes) vs C-major (W on lanes)."""
+    import math
+
+    nhwc_waste = math.ceil(c / 128) * 128 / c
+    nchw_waste = math.ceil(w / 128) * 128 / w
+    return c < 128 and nhwc_waste > nchw_waste
+
+
 class BasicBlock(nn.Module):
     """Pre-norm transformer block: LN->WinAtt->+res, LN->MLP->+res.
 
@@ -358,9 +368,12 @@ class BasicBlock(nn.Module):
     mlp_drop_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "jnp"
+    packed: bool = False  # lane-packed C-major kernel; input is (S, B, C, H, W)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        if self.packed:
+            return self._packed_block_forward(x)
         if self.impl.startswith("pallas_block"):
             return self._fused_block_forward(x)
         shortcut = x
@@ -394,6 +407,68 @@ class BasicBlock(nn.Module):
             name="mlp",
         )(x, deterministic=deterministic)
         return shortcut + x
+
+    def _packed_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Lane-packed C-major fused block (ops/pallas_pack.py) for small-C stages.
+
+        Input/output (S, B, C, H, W); forward-only (the inference fast path).
+        Declares the identical param tree to the composed NHWC path."""
+        from ..ops.pallas_pack import pallas_packed_block
+
+        if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:
+            raise NotImplementedError("dropout is not supported in the packed block")
+
+        c = x.shape[2]
+        shape_probe = jnp.zeros((self.streams, 1, 1, 1, c), x.dtype)
+        ln1_scale, ln1_bias = StackedLayerNorm(
+            self.streams, features=c, name="norm1"
+        )(None)
+        attn_params = DualWindowAttention(
+            streams=self.streams,
+            dims=self.dims,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            window_size=self.window_size,
+            shift=self.shift,
+            cross=self.cross,
+            use_qkv_bias=self.use_qkv_bias,
+            dtype=self.dtype,
+            name="attn",
+        )(shape_probe, return_params=True)
+        ln2_scale, ln2_bias = StackedLayerNorm(
+            self.streams, features=c, name="norm2"
+        )(None)
+        mlp_params = DualMLP(
+            streams=self.streams,
+            dims=self.dims,
+            hidden_dims=self.mlp_hidden_dims,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )(None, return_params=True)
+
+        bias = gather_relative_position_bias(attn_params["table"], self.window_size)
+
+        return pallas_packed_block(
+            x.astype(self.dtype),
+            cross=self.cross,
+            shift=self.shift,
+            ln1_scale=ln1_scale,
+            ln1_bias=ln1_bias,
+            attn=attn_params,
+            bias=bias,
+            ln2_scale=ln2_scale,
+            ln2_bias=ln2_bias,
+            w1=mlp_params["w1"],
+            b1=mlp_params["b1"],
+            w2=mlp_params["w2"],
+            b2=mlp_params["b2"],
+            window=self.window_size,
+            num_heads=self.num_heads,
+            dims_per_head=self.dims_per_head,
+            activation=self.activation,
+            interpret=self.impl.endswith("interpret"),
+        )
 
     def _fused_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Whole-block fused Pallas kernel (ops/pallas_block.py): LN -> attention ->
@@ -482,6 +557,15 @@ class SelfAndCrossBlockPair(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        impl = self.impl
+        packed = False
+        if impl.startswith("pallas_pack"):
+            # lane-packed C-major path for small-C stages; deep stages fall back to
+            # the fused NHWC attention kernel (where NHWC is already tile-exact)
+            s_, b_, h_, w_, c_ = x.shape
+            packed = pack_beneficial(c_, w_)
+            if not packed:
+                impl = "pallas_interpret" if impl.endswith("interpret") else "pallas"
         common = dict(
             streams=self.streams,
             dims=self.dims,
@@ -495,8 +579,13 @@ class SelfAndCrossBlockPair(nn.Module):
             proj_drop_ratio=self.proj_drop_ratio,
             mlp_drop_ratio=self.mlp_drop_ratio,
             dtype=self.dtype,
-            impl=self.impl,
+            impl=impl,
+            packed=packed,
         )
+        if packed:
+            # the whole 4-block stage runs C-major: one NHWC->NCHW transpose in, one
+            # out — the padded-NHWC round-trips per block are what lane packing kills
+            x = jnp.moveaxis(x, -1, 2)  # (S, B, C, H, W)
         # self-attention pair: normal then shifted windows
         x = BasicBlock(shift=False, cross=False, name="self_normal", **common)(
             x, deterministic=deterministic
@@ -511,6 +600,8 @@ class SelfAndCrossBlockPair(nn.Module):
         x = BasicBlock(shift=True, cross=True, name="cross_shift", **common)(
             x, deterministic=deterministic
         )
+        if packed:
+            x = jnp.moveaxis(x, 2, -1)  # back to (S, B, H, W, C)
         return x
 
 

@@ -1,0 +1,109 @@
+"""Parity tests for the lane-packed C-major fused block kernel (ops/pallas_pack.py).
+
+The packed kernel (interpret mode on CPU) must reproduce the jnp NHWC composition
+bit-closely for every block flavour, including odd window counts (dummy-window
+masking) and the full model end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swin_unet_image_fusion_tpu.models.layers import BasicBlock, pack_beneficial
+from swin_unet_image_fusion_tpu.ops.pallas_pack import (
+    pack_windows_cmajor,
+    unpack_windows_cmajor,
+)
+
+
+def test_pack_unpack_round_trip_even():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, 24, 14, 28), np.float32))
+    xp, (nh, npw, nw) = pack_windows_cmajor(x, (7, 7))
+    assert (nh, npw, nw) == (2, 2, 4)
+    assert xp.shape == (2, 3, 2, 2, 24, 128)
+    back = unpack_windows_cmajor(xp, (7, 7), (14, 28))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_pack_unpack_round_trip_odd_nw():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 1, 8, 21, 21), np.float32))  # nW=3 odd
+    xp, (nh, npw, nw) = pack_windows_cmajor(x, (7, 7))
+    assert (nh, npw, nw) == (3, 2, 4)
+    back = unpack_windows_cmajor(xp, (7, 7), (21, 21))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def _block_pair(c, heads, d, shift, cross, hw, seed=0):
+    """Build jnp and packed-interpret blocks sharing one param set; return outputs."""
+    rng = np.random.default_rng(seed)
+    s, b = 2, 2
+    h, w = hw
+    x = jnp.asarray(rng.random((s, b, h, w, c), np.float32))
+
+    kw = dict(
+        streams=s, dims=c, num_heads=heads, dims_per_head=d,
+        window_size=(7, 7), shift=shift, cross=cross, mlp_hidden_dims=4 * c,
+    )
+    ref = BasicBlock(impl="jnp", **kw)
+    params = ref.init(jax.random.PRNGKey(seed), x)
+    out_ref = ref.apply(params, x)
+
+    packed = BasicBlock(impl="pallas_pack_interpret", packed=True, **kw)
+    x_cm = jnp.moveaxis(x, -1, 2)
+    out_cm = packed.apply(params, x_cm)
+    out_pk = jnp.moveaxis(out_cm, 2, -1)
+    return np.asarray(out_ref), np.asarray(out_pk)
+
+
+@pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("cross", [False, True])
+def test_packed_block_matches_jnp(shift, cross):
+    # stage-0-like dims: C=24, 8 heads of d=3 (padded to 8 in the kernel)
+    out_ref, out_pk = _block_pair(24, 8, 3, shift, cross, (14, 28))
+    np.testing.assert_allclose(out_pk, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_block_odd_nw_matches_jnp():
+    out_ref, out_pk = _block_pair(24, 8, 3, True, True, (21, 21))  # nW=3 -> dummy col
+    np.testing.assert_allclose(out_pk, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_block_stage1_dims():
+    out_ref, out_pk = _block_pair(48, 8, 6, True, False, (14, 14))
+    np.testing.assert_allclose(out_pk, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pack_beneficial_rule():
+    assert pack_beneficial(24, 512)       # stage 0 at 512^2
+    assert pack_beneficial(96, 128)       # stage 2 at 512^2
+    assert not pack_beneficial(384, 32)   # deep stage: NHWC already fine
+    assert not pack_beneficial(24, 16)    # tiny W: C-major would pad worse
+
+
+def test_full_model_packed_matches_jnp():
+    """End-to-end: tiny 2-stage model, pallas_pack_interpret vs jnp."""
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    rng = np.random.default_rng(3)
+    ir = jnp.asarray(rng.random((1, 30, 40, 1), np.float32))
+    vis = jnp.asarray(rng.random((1, 30, 40, 1), np.float32))
+
+    cfg = dict(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    ref_model = SwinFusionUNet(ModelConfig(**cfg))
+    params = jax.jit(ref_model.init)(jax.random.PRNGKey(0), ir, vis)
+    out_ref = ref_model.apply(params, ir, vis, train=False)
+
+    pk_model = SwinFusionUNet(
+        ModelConfig(attention_impl="pallas_pack_interpret", **cfg)
+    )
+    out_pk = pk_model.apply(params, ir, vis, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_ref), rtol=3e-5, atol=3e-5
+    )
