@@ -41,7 +41,7 @@ class ModelConfig:
     #   "pallas"       — fused attention kernel (2x faster e2e at 512^2)
     #   "pallas_block" — fully fused LN+attention+MLP block kernel
     #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
-    #                    HBM lane padding; inference-only), "pallas" at deep stages
+    #                    HBM lane padding; differentiable), "pallas" at deep stages
     #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "jnp"
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):

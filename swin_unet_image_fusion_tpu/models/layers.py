@@ -411,7 +411,7 @@ class BasicBlock(nn.Module):
     def _packed_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Lane-packed C-major fused block (ops/pallas_pack.py) for small-C stages.
 
-        Input/output (S, B, C, H, W); forward-only (the inference fast path).
+        Input/output (S, B, C, H, W); differentiable (custom VJP).
         Declares the identical param tree to the composed NHWC path."""
         from ..ops.pallas_pack import pallas_packed_block
 

@@ -27,7 +27,10 @@ Layout design (zero lane padding):
 
 The kernel fuses the whole reference ``BasicBlock`` (LN -> window attention -> +res ->
 LN -> MLP -> +res, ``a005_BasicBlock.py:127-145``) like ``pallas_block.py``, but on the
-packed layout. Forward-only (inference path); training uses the NHWC kernels.
+packed layout. Differentiable: a custom VJP recomputes the block in VMEM on the
+backward pass and accumulates every parameter gradient across the sequential grid
+(zero-padded head rows produce exactly-zero pad gradients, so the outer unpadding
+transposes recover the true weight gradients).
 
 Odd window counts: nW is padded with one fully-masked dummy window column (zeros),
 cropped again after unpacking.
@@ -181,6 +184,233 @@ def _packed_fwd_kernel_self(*refs, **kw):
                            out, **kw)
 
 
+def _act_and_grad(z, activation):
+    """activation(z) and its derivative, expm1/erf-free where Mosaic needs it."""
+    if activation == "elu":
+        ez = jnp.exp(jnp.minimum(z, 0.0))
+        return jnp.where(z > 0, z, ez - 1.0), jnp.where(z > 0, 1.0, ez)
+    if activation == "relu":
+        return jnp.maximum(z, 0.0), (z > 0).astype(z.dtype)
+    if activation == "gelu":
+        inv_sqrt2 = 0.7071067811865476
+        cdf = 0.5 * (1.0 + jax.lax.erf(z * inv_sqrt2))
+        pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327
+        return z * cdf, cdf + z * pdf
+    raise ValueError(activation)
+
+
+def _ln_fwd_c(a, scale, bias):
+    """LayerNorm over the channel (sublane) axis 1 of (TILE, C, L)."""
+    mu = jnp.mean(a, axis=1, keepdims=True)
+    var = jnp.mean((a - mu) ** 2, axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (a - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd_c(g_out, xhat, inv, scale):
+    """(g_a, g_scale, g_bias) for out = xhat * scale + bias, channel axis 1."""
+    g_scale = jnp.sum(g_out * xhat, axis=(0, 2))[:, None]   # (C, 1)
+    g_bias = jnp.sum(g_out, axis=(0, 2))[:, None]
+    g_xhat = g_out * scale
+    m1 = jnp.mean(g_xhat, axis=1, keepdims=True)
+    m2 = jnp.mean(g_xhat * xhat, axis=1, keepdims=True)
+    g_a = inv * (g_xhat - m1 - xhat * m2)
+    return g_a, g_scale, g_bias
+
+
+def _packed_block_bwd_body(
+    x_ref, kv_ref,
+    ln1s_ref, ln1b_ref, ln1kvs_ref, ln1kvb_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wp_ref, bp_ref,
+    bias_ref, mask_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    g_ref,
+    gx_ref, gkv_ref,
+    gln1s_q_ref, gln1b_q_ref, gln1s_kv_ref, gln1b_kv_ref,
+    gwq_ref, gbq_ref, gwk_ref, gbk_ref, gwv_ref, gbv_ref, gwp_ref, gbp_ref,
+    gbias_ref,
+    gln2s_ref, gln2b_ref,
+    gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+    *,
+    num_heads: int,
+    dp: int,
+    scale: float,
+    activation: str,
+    batch: int,
+):
+    """Recompute the packed block in VMEM, then backprop everything (C-major)."""
+    _, tile, c, lanes = x_ref.shape
+
+    x = x_ref[0].astype(jnp.float32)
+    kv = kv_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+
+    s1 = ln1s_ref[0].astype(jnp.float32)
+    b1 = ln1b_ref[0].astype(jnp.float32)
+    s1o = ln1kvs_ref[0].astype(jnp.float32)
+    b1o = ln1kvb_ref[0].astype(jnp.float32)
+    s2 = ln2s_ref[0].astype(jnp.float32)
+    b2v = ln2b_ref[0].astype(jnp.float32)
+
+    bias = bias_ref[0].astype(jnp.float32)
+    mask = mask_ref[...]
+
+    def bmm(a, b, contract):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bcast(w_ref):
+        return jnp.broadcast_to(w_ref[0].astype(jnp.float32), (tile, *w_ref.shape[1:]))
+
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(0) % batch == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (
+            gln1s_q_ref, gln1b_q_ref, gln1s_kv_ref, gln1b_kv_ref,
+            gwq_ref, gbq_ref, gwk_ref, gbk_ref, gwv_ref, gbv_ref,
+            gwp_ref, gbp_ref, gbias_ref, gln2s_ref, gln2b_ref,
+            gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+        ):
+            r[...] = jnp.zeros_like(r)
+
+    # ---- recompute forward ----
+    ln_x, xhat1, inv1 = _ln_fwd_c(x, s1, b1)
+    if gkv_ref is None:
+        ln_kv, xhat1kv, inv1kv = ln_x, xhat1, inv1
+    else:
+        ln_kv, xhat1kv, inv1kv = _ln_fwd_c(kv, s1o, b1o)
+
+    q_all = bmm(bcast(wq_ref), ln_x, ((2,), (1,))) + bq_ref[0].astype(jnp.float32)
+    k_all = bmm(bcast(wk_ref), ln_kv, ((2,), (1,))) + bk_ref[0].astype(jnp.float32)
+    v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
+
+    heads_p = []
+    av_heads = []
+    for h in range(num_heads):
+        sl = slice(h * dp, (h + 1) * dp)
+        q = q_all[:, sl, :]
+        k = k_all[:, sl, :]
+        v = v_all[:, sl, :]
+        s = bmm(q, k, ((1,), (1,))) * scale + bias[None]
+        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+        p = jax.nn.softmax(s, axis=-1)
+        av_heads.append(bmm(v, p, ((2,), (2,))))
+        heads_p.append(p)
+    av_all = jnp.concatenate(av_heads, axis=1)
+
+    acc = bmm(bcast(wp_ref), av_all, ((2,), (1,)))
+    y = x + acc + bp_ref[0].astype(jnp.float32)
+
+    ln_y, xhat2, inv2 = _ln_fwd_c(y, s2, b2v)
+    pre1 = bmm(bcast(w1_ref), ln_y, ((2,), (1,))) + b1_ref[0].astype(jnp.float32)
+    h1, dact = _act_and_grad(pre1, activation)
+
+    # ---- backward ----
+    # out = y + W2 h1 + b2m
+    g_y = g
+    gw2_ref[0] += jnp.sum(bmm(g, h1, ((2,), (2,))), axis=0)           # (C, Hd)
+    gb2_ref[0] += jnp.sum(g, axis=(0, 2))[:, None]
+    g_h1 = bmm(bcast(w2_ref), g, ((1,), (1,)))                        # (TILE, Hd, L)
+    g_pre = g_h1 * dact
+    gw1_ref[0] += jnp.sum(bmm(g_pre, ln_y, ((2,), (2,))), axis=0)     # (Hd, C)
+    gb1_ref[0] += jnp.sum(g_pre, axis=(0, 2))[:, None]
+    g_lny = bmm(bcast(w1_ref), g_pre, ((1,), (1,)))                   # (TILE, C, L)
+    g_y2, g_s2, g_b2 = _ln_bwd_c(g_lny, xhat2, inv2, s2)
+    gln2s_ref[0] += g_s2
+    gln2b_ref[0] += g_b2
+    g_y = g_y + g_y2
+
+    # attention backward
+    gbp_ref[0] += jnp.sum(g_y, axis=(0, 2))[:, None]
+    g_av_all = bmm(bcast(wp_ref), g_y, ((1,), (1,)))                  # (TILE, IP, L)
+    gwp_ref[0] += jnp.sum(bmm(g_y, av_all, ((2,), (2,))), axis=0)     # (C, IP)
+
+    g_q_heads, g_k_heads, g_v_heads = [], [], []
+    g_bias_acc = jnp.zeros((lanes, lanes), jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * dp, (h + 1) * dp)
+        q = q_all[:, sl, :]
+        k = k_all[:, sl, :]
+        v = v_all[:, sl, :]
+        p = heads_p[h]
+        g_av = g_av_all[:, sl, :]
+        g_p = bmm(g_av, v, ((1,), (1,)))                              # (TILE, L, L)
+        g_v = bmm(g_av, p, ((2,), (1,)))                              # (TILE, dp, L)
+        tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
+        g_s = p * (g_p - tmp)                                         # 0 at masked
+        g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
+        g_q = bmm(k, g_s, ((2,), (2,))) * scale                       # (TILE, dp, L)
+        g_k = bmm(q, g_s, ((2,), (1,))) * scale
+        g_q_heads.append(g_q)
+        g_k_heads.append(g_k)
+        g_v_heads.append(g_v)
+    gbias_ref[0] += g_bias_acc
+
+    g_q_all = jnp.concatenate(g_q_heads, axis=1)
+    g_k_all = jnp.concatenate(g_k_heads, axis=1)
+    g_v_all = jnp.concatenate(g_v_heads, axis=1)
+
+    g_lnx = bmm(bcast(wq_ref), g_q_all, ((1,), (1,)))                 # (TILE, C, L)
+    g_lnkv = (
+        bmm(bcast(wk_ref), g_k_all, ((1,), (1,)))
+        + bmm(bcast(wv_ref), g_v_all, ((1,), (1,)))
+    )
+    gwq_ref[0] += jnp.sum(bmm(g_q_all, ln_x, ((2,), (2,))), axis=0)   # (IP, C)
+    gwk_ref[0] += jnp.sum(bmm(g_k_all, ln_kv, ((2,), (2,))), axis=0)
+    gwv_ref[0] += jnp.sum(bmm(g_v_all, ln_kv, ((2,), (2,))), axis=0)
+    gbq_ref[0] += jnp.sum(g_q_all, axis=(0, 2))[:, None]
+    gbk_ref[0] += jnp.sum(g_k_all, axis=(0, 2))[:, None]
+    gbv_ref[0] += jnp.sum(g_v_all, axis=(0, 2))[:, None]
+
+    if gkv_ref is None:
+        g_x_ln, g_s1, g_b1 = _ln_bwd_c(g_lnx + g_lnkv, xhat1, inv1, s1)
+        gln1s_q_ref[0] += g_s1
+        gln1b_q_ref[0] += g_b1
+        gln1s_kv_ref[0] += jnp.zeros_like(g_s1)
+        gln1b_kv_ref[0] += jnp.zeros_like(g_b1)
+        gx_ref[...] = (g_y + g_x_ln)[None].astype(gx_ref.dtype)
+    else:
+        g_x_ln, g_s1, g_b1 = _ln_bwd_c(g_lnx, xhat1, inv1, s1)
+        gln1s_q_ref[0] += g_s1
+        gln1b_q_ref[0] += g_b1
+        g_kv_ln, g_s1o, g_b1o = _ln_bwd_c(g_lnkv, xhat1kv, inv1kv, s1o)
+        gln1s_kv_ref[0] += g_s1o
+        gln1b_kv_ref[0] += g_b1o
+        gx_ref[...] = (g_y + g_x_ln)[None].astype(gx_ref.dtype)
+        gkv_ref[...] = g_kv_ln[None].astype(gkv_ref.dtype)
+
+
+def _packed_bwd_kernel(*refs, **kw):
+    (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+     gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+     gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+     gln2s, gln2b, gw1, gb1, gw2, gb2) = refs
+    _packed_block_bwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk,
+                           wv, bv, wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+                           gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+                           gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+                           gln2s, gln2b, gw1, gb1, gw2, gb2, **kw)
+
+
+def _packed_bwd_kernel_self(*refs, **kw):
+    (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+     gx, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+     gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+     gln2s, gln2b, gw1, gb1, gw2, gb2) = refs
+    _packed_block_bwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk,
+                           wv, bv, wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
+                           gx, None, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+                           gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias,
+                           gln2s, gln2b, gw1, gb1, gw2, gb2, **kw)
+
+
 # ----------------------------------------------------------------- pack / unpack
 
 
@@ -305,9 +535,8 @@ def pallas_packed_block(
 ) -> jnp.ndarray:
     """One fused pre-norm Swin block on C-major stacked streams.
 
-    x: (S, B, C, H, W) with H, W divisible by the window. Forward-only (no VJP):
-    the packed path is the inference fast path; training uses the NHWC kernels.
-    Returns (S, B, C, H, W).
+    x: (S, B, C, H, W) with H, W divisible by the window. Differentiable (custom
+    VJP, flash-style recompute). Returns (S, B, C, H, W).
     """
     s, b, c, h, w = x.shape
     wh, ww = window
@@ -392,36 +621,136 @@ def pallas_packed_block(
         stream_spec((c, hd)), stream_spec((c, 1)),
     ]
 
-    kernel = _packed_fwd_kernel if cross else _packed_fwd_kernel_self
-    ln_args = (
-        (col(ln1_scale), col(ln1_bias), col(ln1_scale), col(ln1_bias))
-        if cross
-        else (col(ln1_scale), col(ln1_bias))
+    static = dict(num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation)
+    f32 = jnp.float32
+    inner_shapes = dict(
+        w=(s, inner_p, c), b=(s, inner_p, 1), wp=(s, c, inner_p), cvec=(s, c, 1),
     )
-    feats = (to_strips(xp), to_strips(kvp)) if cross else (to_strips(xp),)
 
-    out = pl.pallas_call(
-        functools.partial(
-            kernel,
-            num_heads=num_heads,
-            dp=dp,
-            scale=d**-0.5,
-            activation=activation,
-        ),
-        grid=(n, n_tiles),
-        in_specs=in_specs,
-        out_specs=feat,
-        out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), x.dtype),
-        compiler_params=tpu_compiler_params(),
-        interpret=interpret,
-    )(
-        *feats,
-        *ln_args,
+    def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
+        # mask materialised inside the closure: a shared jnp constant would leak as a
+        # tracer across the custom_vjp/remat boundary
+        mask_arr = jnp.asarray(mask_np)
+        if cross:
+            args = (*feats, ln1s, ln1b, ln1s, ln1b)
+            kernel = _packed_fwd_kernel
+        else:
+            args = (*feats, ln1s, ln1b)
+            kernel = _packed_fwd_kernel_self
+        return pl.pallas_call(
+            functools.partial(kernel, **static),
+            grid=(n, n_tiles),
+            in_specs=in_specs,
+            out_specs=feat,
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), x.dtype),
+            compiler_params=tpu_compiler_params(),
+            interpret=interpret,
+        )(
+            *args,
+            wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
+            ln2s, ln2b, w1a, b1l, w2a, b2l,
+        )
+
+    def _backward(res, g):
+        (feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
+         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
+        mask_arr = jnp.asarray(mask_np)
+
+        if cross:
+            in_args = (*feats, ln1s, ln1b, ln1s, ln1b)
+            kernel = _packed_bwd_kernel
+        else:
+            in_args = (*feats, ln1s, ln1b)
+            kernel = _packed_bwd_kernel_self
+        n_fg = len(feat_inputs)
+        outs = pl.pallas_call(
+            functools.partial(kernel, batch=b, **static),
+            grid=(n, n_tiles),
+            in_specs=[*in_specs, feat],
+            out_specs=(
+                *feat_inputs,
+                stream_spec((c, 1)), stream_spec((c, 1)),
+                stream_spec((c, 1), other=cross), stream_spec((c, 1), other=cross),
+                stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+                stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+                stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+                stream_spec((c, inner_p)), stream_spec((c, 1)),
+                stream_spec((LANES, LANES)),
+                stream_spec((c, 1)), stream_spec((c, 1)),
+                stream_spec((hd, c)), stream_spec((hd, 1)),
+                stream_spec((c, hd)), stream_spec((c, 1)),
+            ),
+            out_shape=(
+                *([jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), x.dtype)]
+                  * n_fg),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["w"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["b"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["w"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["b"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["w"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["b"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["wp"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct((s, LANES, LANES), f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
+                jax.ShapeDtypeStruct((s, hd, c), f32),
+                jax.ShapeDtypeStruct((s, hd, 1), f32),
+                jax.ShapeDtypeStruct((s, c, hd), f32),
+                jax.ShapeDtypeStruct((s, c, 1), f32),
+            ),
+            compiler_params=tpu_compiler_params(),
+            interpret=interpret,
+        )(
+            *in_args,
+            wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
+            ln2s, ln2b, w1a, b1l, w2a, b2l,
+            g,
+        )
+        feat_grads = tuple(outs[:n_fg])
+        (gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
+         gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
+         gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs[n_fg:]
+
+        def cast(a, ref):
+            return a.astype(ref.dtype)
+
+        return (
+            feat_grads,
+            cast(gln1s_q + gln1s_kv, ln1s), cast(gln1b_q + gln1b_kv, ln1b),
+            cast(gwq, wqh), cast(gbq, bqh),
+            cast(gwk, wkh), cast(gbk, bkh),
+            cast(gwv, wvh), cast(gbv, bvh),
+            cast(gwp, wph), cast(gbp, bpl),
+            cast(gbias, bias_pa),
+            cast(gln2s, ln2s), cast(gln2b, ln2b),
+            cast(gw1, w1a), cast(gb1, b1l),
+            cast(gw2, w2a), cast(gb2, b2l),
+        )
+
+    @jax.custom_vjp
+    def core(*args):
+        return _forward(*args)
+
+    def core_fwd(*args):
+        return _forward(*args), args
+
+    core.defvjp(core_fwd, _backward)
+
+    feats = (to_strips(xp), to_strips(kvp)) if cross else (to_strips(xp),)
+    out = core(
+        feats,
+        col(ln1_scale), col(ln1_bias),
         t_w(attn["wq"]), t_b(attn["bq"]),
         t_w(attn["wk"]), t_b(attn["bk"]),
         t_w(attn["wv"]), t_b(attn["bv"]),
         t_wp(attn["wp"]), col(attn["bp"]),
-        bias_p, jnp.asarray(mask_np),
+        bias_p,
         col(ln2_scale), col(ln2_bias),
         jnp.swapaxes(w1, -1, -2), col(b1),
         jnp.swapaxes(w2, -1, -2), col(b2),

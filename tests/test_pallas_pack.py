@@ -83,6 +83,45 @@ def test_pack_beneficial_rule():
     assert not pack_beneficial(24, 16)    # tiny W: C-major would pad worse
 
 
+@pytest.mark.parametrize("cross", [False, True])
+def test_packed_block_grad_parity(cross):
+    """Custom-VJP gradients (input + every parameter) match jnp autodiff."""
+    rng = np.random.default_rng(7)
+    s, b, c, heads, d = 2, 1, 24, 8, 3
+    h, w = 14, 14
+    x = jnp.asarray(rng.random((s, b, h, w, c), np.float32))
+    gsel = jnp.asarray(rng.random((s, b, h, w, c), np.float32))
+
+    kw = dict(
+        streams=s, dims=c, num_heads=heads, dims_per_head=d,
+        window_size=(7, 7), shift=True, cross=cross, mlp_hidden_dims=4 * c,
+    )
+    ref = BasicBlock(impl="jnp", **kw)
+    params = ref.init(jax.random.PRNGKey(1), x)
+
+    def loss_ref(params, x):
+        return jnp.sum(ref.apply(params, x) * gsel)
+
+    packed = BasicBlock(impl="pallas_pack_interpret", packed=True, **kw)
+
+    def loss_pk(params, x):
+        out = packed.apply(params, jnp.moveaxis(x, -1, 2))
+        return jnp.sum(jnp.moveaxis(out, 2, -1) * gsel)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_pk = jax.grad(loss_pk, argnums=(0, 1))(params, x)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pk = jax.tree_util.tree_leaves_with_path(g_pk)
+    assert len(flat_ref) == len(flat_pk)
+    for (path_r, leaf_r), (path_p, leaf_p) in zip(flat_ref, flat_pk):
+        assert path_r == path_p
+        np.testing.assert_allclose(
+            np.asarray(leaf_p), np.asarray(leaf_r), rtol=2e-4, atol=2e-4,
+            err_msg=str(path_r),
+        )
+
+
 def test_full_model_packed_matches_jnp():
     """End-to-end: tiny 2-stage model, pallas_pack_interpret vs jnp."""
     from swin_unet_image_fusion_tpu.config import ModelConfig
