@@ -37,7 +37,7 @@ def main():
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    impl = os.environ.get("BENCH_IMPL", "pallas")  # fused kernel: ~2x the jnp path
+    impl = os.environ.get("BENCH_IMPL", "pallas_pack")  # lane-packed fused kernel
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     hw = int(os.environ.get("BENCH_HW", "512"))
     chain = int(os.environ.get("BENCH_CHAIN", "4"))

@@ -38,10 +38,12 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Window-attention implementation (all differentiable via custom VJPs):
     #   "jnp"          — XLA-fused composition (default; safest to compile)
-    #   "pallas"       — fused attention kernel (2x faster e2e at 512^2)
+    #   "pallas"       — fused attention kernel (2.1x faster e2e at 512^2 bf16)
     #   "pallas_block" — fully fused LN+attention+MLP block kernel
     #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
-    #                    HBM lane padding; differentiable), "pallas" at deep stages
+    #                    HBM lane padding; differentiable), "pallas" at deep stages.
+    #                    Fastest measured on TPU: 30.9 pairs/s @512^2 bf16 vs 26.9
+    #                    ("pallas") / 13.0 ("jnp") — docs/BENCHMARKS.md
     #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "jnp"
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
