@@ -71,10 +71,11 @@ class StackedDense(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     in_features: Optional[int] = None  # required for param-access mode (x=None)
+    cmajor: bool = False  # channels at axis 2 of (S, B, C, ...spatial) inputs
 
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray] = None):
-        in_dim = self.in_features if x is None else x.shape[-1]
+        in_dim = self.in_features if x is None else x.shape[2 if self.cmajor else -1]
         kernel = self.param(
             "kernel", kaiming_normal, (self.streams, in_dim, self.features), jnp.float32
         )
@@ -88,7 +89,7 @@ class StackedDense(nn.Module):
             )
             return kernel, bias
         y = jnp.einsum(
-            "s...i,sio->s...o",
+            "sbi...,sio->sbo..." if self.cmajor else "s...i,sio->s...o",
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             preferred_element_type=self.dtype,
@@ -98,7 +99,14 @@ class StackedDense(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.streams, self.features), jnp.float32
             )
-            bias = bias.reshape((self.streams,) + (1,) * (x.ndim - 2) + (self.features,))
+            if self.cmajor:
+                bias = bias.reshape(
+                    (self.streams, 1, self.features) + (1,) * (x.ndim - 3)
+                )
+            else:
+                bias = bias.reshape(
+                    (self.streams,) + (1,) * (x.ndim - 2) + (self.features,)
+                )
             y = y + bias.astype(self.dtype)
         return y
 
@@ -113,20 +121,25 @@ class StackedLayerNorm(nn.Module):
     streams: int
     epsilon: float = 1e-5
     features: Optional[int] = None
+    cmajor: bool = False  # channels at axis 2 of (S, B, C, ...spatial) inputs
 
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray]) -> jnp.ndarray:
-        c = self.features if x is None else x.shape[-1]
+        axis = 2 if self.cmajor else -1
+        c = self.features if x is None else x.shape[axis]
         scale = self.param("scale", nn.initializers.ones, (self.streams, c), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.streams, c), jnp.float32)
         if x is None:
             return scale, bias
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
-        var = xf.var(axis=-1, keepdims=True)  # biased, like torch LayerNorm
+        mean = xf.mean(axis=axis, keepdims=True)
+        var = xf.var(axis=axis, keepdims=True)  # biased, like torch LayerNorm
         xn = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        shape = (self.streams,) + (1,) * (x.ndim - 2) + (c,)
+        if self.cmajor:
+            shape = (self.streams, 1, c) + (1,) * (x.ndim - 3)
+        else:
+            shape = (self.streams,) + (1,) * (x.ndim - 2) + (c,)
         out = xn * scale.reshape(shape) + bias.reshape(shape)
         return out.astype(orig_dtype)
 
@@ -554,12 +567,19 @@ class SelfAndCrossBlockPair(nn.Module):
     mlp_drop_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "jnp"
+    # input/output already C-major (S, B, C, H, W): the model runs the whole small-C
+    # trunk (pads/merges/skips included) C-major, so no per-stage transposes here
+    cmajor_io: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         impl = self.impl
         packed = False
-        if impl.startswith("pallas_pack"):
+        if self.cmajor_io:
+            if not impl.startswith("pallas_pack"):
+                raise ValueError("cmajor_io requires the pallas_pack impl")
+            packed = True
+        elif impl.startswith("pallas_pack"):
             # lane-packed C-major path for small-C stages; deep stages fall back to
             # the fused NHWC attention kernel (where NHWC is already tile-exact)
             s_, b_, h_, w_, c_ = x.shape
@@ -582,7 +602,7 @@ class SelfAndCrossBlockPair(nn.Module):
             impl=impl,
             packed=packed,
         )
-        if packed:
+        if packed and not self.cmajor_io:
             # the whole 4-block stage runs C-major: one NHWC->NCHW transpose in, one
             # out — the padded-NHWC round-trips per block are what lane packing kills
             x = jnp.moveaxis(x, -1, 2)  # (S, B, C, H, W)
@@ -600,7 +620,7 @@ class SelfAndCrossBlockPair(nn.Module):
         x = BasicBlock(shift=True, cross=True, name="cross_shift", **common)(
             x, deterministic=deterministic
         )
-        if packed:
+        if packed and not self.cmajor_io:
             x = jnp.moveaxis(x, 2, -1)  # back to (S, B, H, W, C)
         return x
 
@@ -616,14 +636,19 @@ class PatchMergeLayer(nn.Module):
     merging_size: Tuple[int, int]
     activation: str = "elu"
     dtype: jnp.dtype = jnp.float32
+    cmajor: bool = False  # (S, B, C, H, W) in/out; identical params either layout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.patch import space_to_depth
+        from ..ops.patch import space_to_depth, space_to_depth_cmajor
 
-        x = space_to_depth(x, self.merging_size)
-        x = StackedDense(self.streams, self.out_dims, True, self.dtype, name="linear")(x)
-        x = StackedLayerNorm(self.streams, name="norm")(x)
+        s2d = space_to_depth_cmajor if self.cmajor else space_to_depth
+        x = s2d(x, self.merging_size)
+        x = StackedDense(
+            self.streams, self.out_dims, True, self.dtype, cmajor=self.cmajor,
+            name="linear",
+        )(x)
+        x = StackedLayerNorm(self.streams, cmajor=self.cmajor, name="norm")(x)
         return activation_fn(self.activation)(x)
 
 
@@ -639,17 +664,20 @@ class PatchUnmergeLayer(nn.Module):
     merging_size: Tuple[int, int]
     activation: str = "elu"
     dtype: jnp.dtype = jnp.float32
+    cmajor: bool = False  # (S, B, C, H, W) in/out; identical params either layout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.patch import depth_to_space
+        from ..ops.patch import depth_to_space, depth_to_space_cmajor
 
         ph, pw = self.merging_size
         x = StackedDense(
-            self.streams, self.out_dims * ph * pw, True, self.dtype, name="linear"
+            self.streams, self.out_dims * ph * pw, True, self.dtype,
+            cmajor=self.cmajor, name="linear",
         )(x)
-        x = StackedLayerNorm(self.streams, name="norm")(x)
-        x = depth_to_space(x, self.merging_size)
+        x = StackedLayerNorm(self.streams, cmajor=self.cmajor, name="norm")(x)
+        d2s = depth_to_space_cmajor if self.cmajor else depth_to_space
+        x = d2s(x, self.merging_size)
         return activation_fn(self.activation)(x)
 
 

@@ -23,13 +23,19 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.patch import crop_bottom_right, pad_reflect_bottom_right
+from ..ops.patch import (
+    crop_bottom_right,
+    crop_bottom_right_cmajor,
+    pad_reflect_bottom_right,
+    pad_reflect_bottom_right_cmajor,
+)
 from ..ops.shape_plan import make_plan
 from .layers import (
     FinalHead,
     PatchMergeLayer,
     PatchUnmergeLayer,
     SelfAndCrossBlockPair,
+    pack_beneficial,
 )
 
 STREAMS = 2  # dual path: (x=ir, y=vis_Y)
@@ -58,6 +64,23 @@ class SwinFusionUNet(nn.Module):
             else SelfAndCrossBlockPair
         )
 
+        # C-major trunk: under the pallas_pack impl the small-C stages run entirely
+        # (S, B, C, H, W) — blocks AND the stage-boundary pad/merge/skip ops — so the
+        # lane-padded NHWC buffers (C=1..96 padded to 128 lanes) never touch HBM.
+        # pack_beneficial is the same predicate the block pair uses, evaluated at the
+        # resolution its blocks will see (plan[k].att_hw).
+        stage_cmajor = tuple(
+            cfg.attention_impl.startswith("pallas_pack")
+            and pack_beneficial(cfg.out_dims_list[k], plan[k].att_hw[1])
+            for k in range(n)
+        )
+
+        def to_layout(a, cur: bool, want: bool):
+            """Convert between NHWC (False) and C-major (True) stacked layouts."""
+            if cur == want:
+                return a
+            return jnp.moveaxis(a, -1, 2) if want else jnp.moveaxis(a, 2, -1)
+
         def stage_blocks(k: int, role: str):
             dims = cfg.out_dims_list[k]
             # decoder quirk: mlp hidden follows the *output* dims of the decoder stage
@@ -81,25 +104,31 @@ class SwinFusionUNet(nn.Module):
                 mlp_drop_ratio=cfg.mlp_drop_ratio,
                 dtype=dtype,
                 impl=cfg.attention_impl,
+                cmajor_io=stage_cmajor[k],
                 name=f"{role}{k}_blocks",
             )
 
         x = jnp.stack([ir, vis], axis=0).astype(dtype)  # (S, B, H, W, 1)
+        layout = False  # NHWC
 
         # ---------------- encoder ----------------
         skips = []
         for k in range(n):
             p = plan[k]
-            x = pad_reflect_bottom_right(x, p.pad_merge)
+            x = to_layout(x, layout, stage_cmajor[k])
+            layout = stage_cmajor[k]
+            pad = pad_reflect_bottom_right_cmajor if layout else pad_reflect_bottom_right
+            x = pad(x, p.pad_merge)
             x = PatchMergeLayer(
                 streams=STREAMS,
                 out_dims=cfg.out_dims_list[k],
                 merging_size=cfg.merging_size,
                 activation=cfg.mlp_activation,
                 dtype=dtype,
+                cmajor=layout,
                 name=f"enc{k}_merge",
             )(x)
-            x = pad_reflect_bottom_right(x, p.pad_win)
+            x = pad(x, p.pad_win)
             x = stage_blocks(k, "enc")(x, deterministic=deterministic)
             if k < n - 1:
                 skips.append(x)  # a013:219-220 — all but the last stage
@@ -107,22 +136,29 @@ class SwinFusionUNet(nn.Module):
         # ---------------- decoder ----------------
         for j in range(n):
             k = n - 1 - j  # mirrored encoder stage
+            x = to_layout(x, layout, stage_cmajor[k])
+            layout = stage_cmajor[k]
             if j > 0:
-                x = x + skips.pop()  # additive skips, LIFO — a013:221-224
+                # additive skips, LIFO — a013:221-224; the popped skip comes from
+                # encoder stage k, so it is already in this stage's layout
+                x = x + skips.pop()
             p = plan[k]
             x = stage_blocks(k, "dec")(x, deterministic=deterministic)
-            x = crop_bottom_right(x, p.pad_win)
+            crop = crop_bottom_right_cmajor if layout else crop_bottom_right
+            x = crop(x, p.pad_win)
             x = PatchUnmergeLayer(
                 streams=STREAMS,
                 out_dims=cfg.in_dims_list[k],
                 merging_size=cfg.merging_size,
                 activation=cfg.mlp_activation,
                 dtype=dtype,
+                cmajor=layout,
                 name=f"dec{k}_unmerge",
             )(x)
-            x = crop_bottom_right(x, p.pad_merge)
+            x = crop(x, p.pad_merge)
 
         # ---------------- final head ----------------
+        x = to_layout(x, layout, False)  # NHWC for the conv head
         xy = jnp.concatenate([x[0], x[1]], axis=-1)  # (B, H, W, 2): [x_stream, y_stream]
         out = FinalHead(
             kernel_size=cfg.final_conv_layer_kernel_size,

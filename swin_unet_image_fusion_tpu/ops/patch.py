@@ -50,6 +50,40 @@ def depth_to_space(x: jnp.ndarray, merging_size: Tuple[int, int]) -> jnp.ndarray
     return x.reshape(*lead, b, nh * ph, nw * pw, c)
 
 
+def space_to_depth_cmajor(x: jnp.ndarray, merging_size: Tuple[int, int]) -> jnp.ndarray:
+    """C-major merge: (..., B, C, H, W) -> (..., B, ph*pw*C, H/ph, W/pw).
+
+    Channel order is (ph pw c) — identical to :func:`space_to_depth`, so the same
+    stacked 1x1 weights apply in either layout. C-major keeps the big spatial dims on
+    the (8, 128) HBM tile (zero lane padding at the small-C early stages).
+    """
+    ph, pw = merging_size
+    if (ph, pw) == (1, 1):
+        return x
+    *lead, b, c, h, w = x.shape
+    nh, nw = h // ph, w // pw
+    x = x.reshape(*lead, b, c, nh, ph, nw, pw)
+    n = len(lead)
+    perm = tuple(range(n)) + tuple(i + n for i in (0, 3, 5, 1, 2, 4))
+    x = x.transpose(perm)  # (..., b, ph, pw, c, nh, nw)
+    return x.reshape(*lead, b, ph * pw * c, nh, nw)
+
+
+def depth_to_space_cmajor(x: jnp.ndarray, merging_size: Tuple[int, int]) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth_cmajor`: (..., B, ph*pw*C, nh, nw) ->
+    (..., B, C, nh*ph, nw*pw), reading channels as (ph pw c)."""
+    ph, pw = merging_size
+    if (ph, pw) == (1, 1):
+        return x
+    *lead, b, cc, nh, nw = x.shape
+    c = cc // (ph * pw)
+    x = x.reshape(*lead, b, ph, pw, c, nh, nw)
+    n = len(lead)
+    perm = tuple(range(n)) + tuple(i + n for i in (0, 3, 4, 1, 5, 2))
+    x = x.transpose(perm)  # (..., b, c, nh, ph, nw, pw)
+    return x.reshape(*lead, b, c, nh * ph, nw * pw)
+
+
 def pad_reflect_bottom_right(x: jnp.ndarray, pad_hw: Tuple[int, int]) -> jnp.ndarray:
     """Reflect-pad bottom/right of the spatial axes (reference a006:111-131).
 
@@ -69,3 +103,24 @@ def crop_bottom_right(x: jnp.ndarray, pad_hw: Tuple[int, int]) -> jnp.ndarray:
         return x
     h, w = x.shape[-3], x.shape[-2]
     return x[..., : h - ph, : w - pw, :]
+
+
+def pad_reflect_bottom_right_cmajor(x: jnp.ndarray, pad_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Reflect-pad bottom/right for C-major (..., C, H, W) layouts (spatial axes -2/-1).
+
+    Padding acts on H/W only, so the result is layout-independent (matches the NHWC
+    :func:`pad_reflect_bottom_right` exactly)."""
+    ph, pw = pad_hw
+    if ph == 0 and pw == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+    return jnp.pad(x, widths, mode="reflect")
+
+
+def crop_bottom_right_cmajor(x: jnp.ndarray, pad_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Undo :func:`pad_reflect_bottom_right_cmajor`."""
+    ph, pw = pad_hw
+    if ph == 0 and pw == 0:
+        return x
+    h, w = x.shape[-2], x.shape[-1]
+    return x[..., : h - ph, : w - pw]

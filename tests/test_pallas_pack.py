@@ -146,3 +146,44 @@ def test_full_model_packed_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(out_pk), np.asarray(out_ref), rtol=3e-5, atol=3e-5
     )
+
+
+def test_full_model_cmajor_trunk_grads_and_param_tree():
+    """The C-major trunk (boundary pads/merges/skips run (S,B,C,H,W) under
+    pallas_pack) must keep the identical param tree (checkpoint compatibility
+    across impls) and match jnp gradients end-to-end at odd sizes."""
+    from jax.flatten_util import ravel_pytree
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    rng = np.random.default_rng(7)
+    ir = jnp.asarray(rng.random((2, 25, 31, 1), np.float32))
+    vis = jnp.asarray(rng.random((2, 25, 31, 1), np.float32))
+
+    cfg = dict(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    ref_model = SwinFusionUNet(ModelConfig(**cfg))
+    variables = jax.jit(ref_model.init)(jax.random.PRNGKey(0), ir, vis)
+
+    pk_model = SwinFusionUNet(ModelConfig(attention_impl="pallas_pack_interpret", **cfg))
+    v_pk = jax.jit(pk_model.init)(jax.random.PRNGKey(0), ir, vis)
+    assert jax.tree_util.tree_structure(v_pk) == jax.tree_util.tree_structure(variables)
+
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def make_loss(model):
+        def f(params, a, b):
+            out = model.apply({"params": params, **aux}, a, b, train=False)
+            return jnp.sum(out * out)
+
+        return f
+
+    g_ref = jax.jit(jax.grad(make_loss(ref_model)))(variables["params"], ir, vis)
+    g_pk = jax.jit(jax.grad(make_loss(pk_model)))(variables["params"], ir, vis)
+    flat_r = np.asarray(ravel_pytree(g_ref)[0])
+    flat_p = np.asarray(ravel_pytree(g_pk)[0])
+    rel = np.abs(flat_p - flat_r).max() / (np.abs(flat_r).max() + 1e-12)
+    assert rel < 1e-4, rel
