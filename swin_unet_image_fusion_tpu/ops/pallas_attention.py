@@ -71,6 +71,33 @@ def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 
     return best
 
 
+# Backward-kernel VMEM budget. Module-level so tests can shrink it to force the
+# re-tiled backward path on small shapes.
+BWD_VMEM_BUDGET_BYTES = 64 << 20
+
+
+def bwd_split_factor(
+    wt: int, tp: int, num_heads: int, budget_bytes: Optional[int] = None
+) -> int:
+    """Backward tile split: how many pieces to cut the forward tile into for the
+    backward kernel's grid.
+
+    The backward kernels keep ~O(heads) score-sized (WT, TP, TP) f32 tensors live at
+    once (per-head softmax maps are all rematerialised before the gradient walk, and
+    Mosaic does not reuse the unrolled per-head loop's buffers), so a forward-sized
+    tile can exceed VMEM by an order of magnitude. Observed on v5e: a WT=256, TP=56,
+    heads=8 stage needs 399M of VMEM against the 100M limit, i.e. ~16 score-sized
+    tensors per head — which is the calibration constant used here. Strips re-tile for
+    free (a leading-dim reshape), so the backward just runs a finer grid.
+    """
+    if budget_bytes is None:
+        budget_bytes = BWD_VMEM_BUDGET_BYTES
+    for f in range(1, wt + 1):
+        if wt % f == 0 and (wt // f) * tp * tp * 4 * num_heads * 16 <= budget_bytes:
+            return f
+    return wt
+
+
 def _attention_fwd_kernel(
     x_ref,       # (1, TILE, TP, C)
     kv_ref,      # (1, TILE, TP, C) — pass x_ref again for self-attention (no extra DMA
@@ -456,16 +483,32 @@ def pallas_window_attention(
     def _backward(res, g):
         feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
         mask_arr = jnp.asarray(mask_np)
-        fw = [to_padded_windows(a).reshape(n * n_tiles, wt, tp, c) for a in feats]
-        gw = to_padded_windows(g).reshape(n * n_tiles, wt, tp, c)
+        # finer tiles than the forward: the bwd kernel's live set is ~O(heads)
+        # score-sized tensors per window (see bwd_split_factor)
+        f_b = bwd_split_factor(wt, tp, num_heads)
+        wt_b = wt // f_b
+        n_tiles_b = n_tiles * f_b
+        feat_b = pl.BlockSpec(
+            (1, wt_b, tp, c), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if mask_nwin == 1:
+            mask_spec_b = mask_spec
+        else:
+            mask_spec_b = pl.BlockSpec(
+                (wt_b, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+            )
+        feat_shape_b = jax.ShapeDtypeStruct((n * n_tiles_b, wt_b, tp, c), x.dtype)
+        fw = [to_padded_windows(a).reshape(n * n_tiles_b, wt_b, tp, c) for a in feats]
+        gw = to_padded_windows(g).reshape(n * n_tiles_b, wt_b, tp, c)
         kernel = _attention_bwd_kernel_self if same_kv else _attention_bwd_kernel
         n_feat_grads = 1 if same_kv else 2
         outs = pl.pallas_call(
             functools.partial(kernel, batch=b, **static),
-            grid=(n, n_tiles),
-            in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec, feat],
-            out_specs=(*([feat] * n_feat_grads), *grad_specs),
-            out_shape=(*([feat_shape] * n_feat_grads), *grad_shapes),
+            grid=(n, n_tiles_b),
+            in_specs=[*([feat_b] * len(fw)), *weight_specs, mask_spec_b, feat_b],
+            out_specs=(*([feat_b] * n_feat_grads), *grad_specs),
+            out_shape=(*([feat_shape_b] * n_feat_grads), *grad_shapes),
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, gw)

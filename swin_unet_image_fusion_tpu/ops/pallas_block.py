@@ -33,7 +33,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import _full_mask, _padded_t, rows_per_tile, tpu_compiler_params
+from .pallas_attention import (
+    _full_mask,
+    _padded_t,
+    bwd_split_factor,
+    rows_per_tile,
+    tpu_compiler_params,
+)
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 
 LN_EPS = 1e-5
@@ -485,20 +491,23 @@ def pallas_fused_block(
          stream_spec((1, c), other_stream=kv_is_other)]
         if cross else []
     )
-    fwd_in_specs = [
-        *feat_inputs,
-        stream_spec((1, c)), stream_spec((1, c)),
-        *ln1kv_inputs,
-        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-        stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
-        stream_spec((num_heads, d, c)), stream_spec((1, c)),
-        stream_spec((tp, tp)),
-        mask_spec,
-        stream_spec((1, c)), stream_spec((1, c)),
-        stream_spec((c, hd)), stream_spec((1, hd)),
-        stream_spec((hd, c)), stream_spec((1, c)),
-    ]
+    def make_in_specs(feat_spec, mask_sp):
+        return [
+            *([feat_spec] * len(feat_inputs)),
+            stream_spec((1, c)), stream_spec((1, c)),
+            *ln1kv_inputs,
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
+            stream_spec((num_heads, d, c)), stream_spec((1, c)),
+            stream_spec((tp, tp)),
+            mask_sp,
+            stream_spec((1, c)), stream_spec((1, c)),
+            stream_spec((c, hd)), stream_spec((1, hd)),
+            stream_spec((hd, c)), stream_spec((1, c)),
+        ]
+
+    fwd_in_specs = make_in_specs(feat, mask_spec)
 
     def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
                  bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
@@ -532,9 +541,34 @@ def pallas_fused_block(
     def _backward(res, g):
         (feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
          bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
-        xw, kvw = (feats if cross else (feats[0], None))
         mask_arr = jnp.asarray(mask_np)
         f32 = jnp.float32
+
+        # finer tiles than the forward: the bwd live set is ~O(heads) score-sized
+        # tensors per window (see pallas_attention.bwd_split_factor); strips re-tile
+        # for free via a leading-dim reshape
+        f_b = bwd_split_factor(wt, tp, num_heads)
+        wt_b = wt // f_b
+        n_tiles_b = n_tiles * f_b
+        feat_b = pl.BlockSpec(
+            (1, wt_b, tp, c), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if mask_nwin == 1:
+            mask_spec_b = mask_spec
+        else:
+            mask_spec_b = pl.BlockSpec(
+                (wt_b, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+            )
+        feat_inputs_b = [feat_b] * len(feat_inputs)
+        bwd_in_specs = make_in_specs(feat_b, mask_spec_b)
+
+        def retile(a):
+            return a.reshape(n * n_tiles_b, wt_b, tp, c)
+
+        feats_b = tuple(retile(a) for a in feats)
+        xw, kvw = (feats_b if cross else (feats_b[0], None))
+        gw = retile(g)
 
         def out_stream_spec(shape, other_stream=False):
             return stream_spec(shape, other_stream=other_stream)
@@ -553,10 +587,10 @@ def pallas_fused_block(
                 activation=activation,
                 batch=b,
             ),
-            grid=(n, n_tiles),
-            in_specs=[*fwd_in_specs, feat],
+            grid=(n, n_tiles_b),
+            in_specs=[*bwd_in_specs, feat_b],
             out_specs=(
-                *feat_inputs,
+                *feat_inputs_b,
                 out_stream_spec((1, c)), out_stream_spec((1, c)),
                 out_stream_spec((1, c), other_stream=kv_is_other),
                 out_stream_spec((1, c), other_stream=kv_is_other),
@@ -570,7 +604,7 @@ def pallas_fused_block(
                 out_stream_spec((hd, c)), out_stream_spec((1, c)),
             ),
             out_shape=(
-                *([jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype)]
+                *([jax.ShapeDtypeStruct((n * n_tiles_b, wt_b, tp, c), x.dtype)]
                   * len(feat_inputs)),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
                 jax.ShapeDtypeStruct((s, 1, c), f32),
@@ -598,10 +632,13 @@ def pallas_fused_block(
             *in_args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
-            g,
+            gw,
         )
         n_fg = len(feat_inputs)
-        feat_grads = tuple(outs[:n_fg])
+        # back to the forward strip tiling (grads must match the residuals' shape)
+        feat_grads = tuple(
+            fg.reshape(n * n_tiles, wt, tp, c) for fg in outs[:n_fg]
+        )
         (gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
          gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
          gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs[n_fg:]

@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_attention import tpu_compiler_params
+from .pallas_attention import bwd_split_factor, tpu_compiler_params
 from .window import MASK_FILL_VALUE
 
 LN_EPS = 1e-5
@@ -606,20 +606,23 @@ def pallas_packed_block(
         [stream_spec((c, 1), other=cross), stream_spec((c, 1), other=cross)]
         if cross else []
     )
-    in_specs = [
-        *feat_inputs,
-        stream_spec((c, 1)), stream_spec((c, 1)),
-        *ln1kv_inputs,
-        stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
-        stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
-        stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
-        stream_spec((c, inner_p)), stream_spec((c, 1)),
-        stream_spec((LANES, LANES)),
-        mask_spec,
-        stream_spec((c, 1)), stream_spec((c, 1)),
-        stream_spec((hd, c)), stream_spec((hd, 1)),
-        stream_spec((c, hd)), stream_spec((c, 1)),
-    ]
+    def make_in_specs(feat_spec, mask_sp):
+        return [
+            *([feat_spec] * len(feat_inputs)),
+            stream_spec((c, 1)), stream_spec((c, 1)),
+            *ln1kv_inputs,
+            stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+            stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+            stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
+            stream_spec((c, inner_p)), stream_spec((c, 1)),
+            stream_spec((LANES, LANES)),
+            mask_sp,
+            stream_spec((c, 1)), stream_spec((c, 1)),
+            stream_spec((hd, c)), stream_spec((hd, 1)),
+            stream_spec((c, hd)), stream_spec((c, 1)),
+        ]
+
+    in_specs = make_in_specs(feat, mask_spec)
 
     static = dict(num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation)
     f32 = jnp.float32
@@ -657,6 +660,32 @@ def pallas_packed_block(
          bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
         mask_arr = jnp.asarray(mask_np)
 
+        # finer tiles than the forward: the bwd live set is ~O(heads) score-sized
+        # (TILE, 128, 128) tensors (see pallas_attention.bwd_split_factor); strips
+        # re-tile for free via a leading-dim reshape
+        f_b = bwd_split_factor(tile, LANES, num_heads)
+        tile_b = tile // f_b
+        n_tiles_b = n_tiles * f_b
+        feat_b = pl.BlockSpec(
+            (1, tile_b, c, LANES), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if mask_n == 1:
+            mask_spec_b = mask_spec
+        else:
+            mask_spec_b = pl.BlockSpec(
+                (tile_b, LANES, LANES), lambda i, r: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        bwd_in_specs = make_in_specs(feat_b, mask_spec_b)
+        feat_inputs_b = [feat_b] * len(feat_inputs)
+
+        def retile(a):
+            return a.reshape(n * n_tiles_b, tile_b, c, LANES)
+
+        feats = tuple(retile(a) for a in feats)
+        g = retile(g)
+
         if cross:
             in_args = (*feats, ln1s, ln1b, ln1s, ln1b)
             kernel = _packed_bwd_kernel
@@ -666,10 +695,10 @@ def pallas_packed_block(
         n_fg = len(feat_inputs)
         outs = pl.pallas_call(
             functools.partial(kernel, batch=b, **static),
-            grid=(n, n_tiles),
-            in_specs=[*in_specs, feat],
+            grid=(n, n_tiles_b),
+            in_specs=[*bwd_in_specs, feat_b],
             out_specs=(
-                *feat_inputs,
+                *feat_inputs_b,
                 stream_spec((c, 1)), stream_spec((c, 1)),
                 stream_spec((c, 1), other=cross), stream_spec((c, 1), other=cross),
                 stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
@@ -682,7 +711,7 @@ def pallas_packed_block(
                 stream_spec((c, hd)), stream_spec((c, 1)),
             ),
             out_shape=(
-                *([jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), x.dtype)]
+                *([jax.ShapeDtypeStruct((n * n_tiles_b, tile_b, c, LANES), x.dtype)]
                   * n_fg),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
@@ -712,7 +741,10 @@ def pallas_packed_block(
             ln2s, ln2b, w1a, b1l, w2a, b2l,
             g,
         )
-        feat_grads = tuple(outs[:n_fg])
+        # back to the forward strip tiling (grads must match the residuals' shape)
+        feat_grads = tuple(
+            fg.reshape(n * n_tiles, tile, c, LANES) for fg in outs[:n_fg]
+        )
         (gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
          gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
          gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs[n_fg:]

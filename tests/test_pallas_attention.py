@@ -215,3 +215,53 @@ def test_pallas_model_under_data_sharding(rng):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     assert out.sharding.is_equivalent_to(data_sharding(mesh), out.ndim)
+
+
+def test_bwd_split_factor_retiled_grads(rng, monkeypatch):
+    """Force the backward tile split (the VMEM guard for big forward tiles: the bwd
+    kernels keep ~O(heads) score-sized tensors live, so they run on a finer grid) and
+    check gradients are unchanged — for both the attention and fused block kernels."""
+    from swin_unet_image_fusion_tpu.models.layers import BasicBlock
+    from swin_unet_image_fusion_tpu.ops import pallas_attention
+
+    # tiny budget -> bwd_split_factor > 1 even at test shapes
+    monkeypatch.setattr(pallas_attention, "BWD_VMEM_BUDGET_BYTES", 200_000)
+    assert pallas_attention.bwd_split_factor(6, 56, 2) > 1
+
+    c, heads, dph = 8, 2, 4
+    h, w = 14, 21  # 2x3 windows -> wt=6, splits to 3 or finer
+    x = jnp.asarray(rng.standard_normal((2, 2, h, w, c)).astype(np.float32))
+
+    kwargs = dict(
+        streams=2, dims=c, num_heads=heads, dims_per_head=dph,
+        window_size=(7, 7), shift=True, cross=True,
+    )
+    jnp_mod = DualWindowAttention(**kwargs, impl="jnp")
+    variables = jnp_mod.init(jax.random.PRNGKey(0), x)
+    pl_mod = DualWindowAttention(**kwargs, impl="pallas_interpret")
+
+    def loss(mod):
+        def f(params, xx):
+            out = mod.apply({"params": params}, xx)
+            return jnp.sum(out * jnp.cos(xx))
+        return f
+
+    g_ref_p, g_ref_x = jax.grad(loss(jnp_mod), argnums=(0, 1))(variables["params"], x)
+    g_pl_p, g_pl_x = jax.grad(loss(pl_mod), argnums=(0, 1))(variables["params"], x)
+    np.testing.assert_allclose(np.asarray(g_pl_x), np.asarray(g_ref_x), atol=3e-5, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(g_ref_p), jax.tree.leaves(g_pl_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3)
+
+    # fused block kernel through the same forced split
+    bkwargs = dict(
+        streams=2, dims=c, num_heads=heads, dims_per_head=dph,
+        window_size=(7, 7), shift=True, cross=True, mlp_hidden_dims=3 * c,
+    )
+    jnp_blk = BasicBlock(**bkwargs, impl="jnp")
+    bvars = jnp_blk.init(jax.random.PRNGKey(1), x)
+    blk = BasicBlock(**bkwargs, impl="pallas_block_interpret")
+    g_ref_p, g_ref_x = jax.grad(loss(jnp_blk), argnums=(0, 1))(bvars["params"], x)
+    g_pl_p, g_pl_x = jax.grad(loss(blk), argnums=(0, 1))(bvars["params"], x)
+    np.testing.assert_allclose(np.asarray(g_pl_x), np.asarray(g_ref_x), atol=5e-5, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(g_ref_p), jax.tree.leaves(g_pl_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)

@@ -187,3 +187,44 @@ def test_full_model_cmajor_trunk_grads_and_param_tree():
     flat_p = np.asarray(ravel_pytree(g_pk)[0])
     rel = np.abs(flat_p - flat_r).max() / (np.abs(flat_r).max() + 1e-12)
     assert rel < 1e-4, rel
+
+
+def test_packed_block_grad_parity_forced_bwd_split(monkeypatch):
+    """Gradients unchanged when the backward runs on a finer tile grid (the VMEM
+    guard for big forward tiles — pallas_attention.bwd_split_factor)."""
+    from swin_unet_image_fusion_tpu.ops import pallas_attention
+
+    monkeypatch.setattr(pallas_attention, "BWD_VMEM_BUDGET_BYTES", 5_000_000)
+
+    rng = np.random.default_rng(11)
+    s, b, c, heads, d = 2, 1, 24, 8, 3
+    h, w = 14, 28  # 2x2 pair-columns -> tile splits
+    x = jnp.asarray(rng.random((s, b, h, w, c), np.float32))
+    gsel = jnp.asarray(rng.random((s, b, h, w, c), np.float32))
+
+    kw = dict(
+        streams=s, dims=c, num_heads=heads, dims_per_head=d,
+        window_size=(7, 7), shift=True, cross=True, mlp_hidden_dims=4 * c,
+    )
+    ref = BasicBlock(impl="jnp", **kw)
+    params = ref.init(jax.random.PRNGKey(1), x)
+
+    def loss_ref(params, x):
+        return jnp.sum(ref.apply(params, x) * gsel)
+
+    packed = BasicBlock(impl="pallas_pack_interpret", packed=True, **kw)
+
+    def loss_pk(params, x):
+        out = packed.apply(params, jnp.moveaxis(x, -1, 2))
+        return jnp.sum(jnp.moveaxis(out, 2, -1) * gsel)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_pk = jax.grad(loss_pk, argnums=(0, 1))(params, x)
+    for (pr, lr), (pp, lp) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_pk),
+    ):
+        assert pr == pp
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lr), rtol=2e-4, atol=2e-4, err_msg=str(pr)
+        )
