@@ -578,6 +578,12 @@ class SelfAndCrossBlockPair(nn.Module):
         if self.cmajor_io:
             if not impl.startswith("pallas_pack"):
                 raise ValueError("cmajor_io requires the pallas_pack impl")
+            # the model already routed this stage C-major; guard that both decision
+            # sites (unet.stage_cmajor and this predicate) still agree
+            assert pack_beneficial(x.shape[2], x.shape[-1]), (
+                "cmajor_io stage fails pack_beneficial — unet.py and layers.py "
+                "packing predicates have diverged"
+            )
             packed = True
         elif impl.startswith("pallas_pack"):
             # lane-packed C-major path for small-C stages; deep stages fall back to

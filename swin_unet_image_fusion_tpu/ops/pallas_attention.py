@@ -71,9 +71,11 @@ def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 
     return best
 
 
-# Backward-kernel VMEM budget. Module-level so tests can shrink it to force the
+# Backward-kernel VMEM budget, derived from the scoped-VMEM limit above (2/3 of it:
+# the estimate in bwd_split_factor is calibrated, not exact, so leave headroom for
+# double-buffered window IO). Module-level so tests can shrink it to force the
 # re-tiled backward path on small shapes.
-BWD_VMEM_BUDGET_BYTES = 64 << 20
+BWD_VMEM_BUDGET_BYTES = (VMEM_LIMIT_BYTES * 2) // 3
 
 
 def bwd_split_factor(
