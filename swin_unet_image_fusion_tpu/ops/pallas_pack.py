@@ -54,6 +54,12 @@ LN_EPS = 1e-5
 TOK = 64  # tokens per window slot (49 real + 15 masked pad)
 LANES = 2 * TOK  # two windows per lane register
 
+# Head-batched score/AV matmuls (see _packed_block_fwd_body): profiling showed the
+# per-head loop's (128, dp)x(dp, 128) matmuls run the MXU at dp/128 (~6%) utilisation
+# and dominate the 512^2 forward. Block-diagonal operands batch all heads into one
+# matmul with a heads*dp contraction. Module flag for A/B benchmarking.
+FUSED_HEAD_MATMULS = True
+
 
 def _dp_pad(d: int) -> int:
     """Per-head dim padded to the 8-sublane boundary."""
@@ -72,6 +78,109 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
 
 
 # --------------------------------------------------------------------------- kernel
+
+
+def _headbatched_attention(
+    q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=False
+):
+    """All-head window attention as two large MXU matmuls via block-diagonal operands.
+
+    The per-head formulation issues (LANES, dp) x (dp, LANES) matmuls whose dp(=8)
+    contraction fills 8/128 MXU rows; with 8 heads that is 16 near-empty matmul issues
+    per tile and it dominates the small-C stage profile. Instead:
+
+    - scores (all heads): S[t, i, h*LANES+j] = sum_d q[t, h*dp+d, i] * k[t, h*dp+d, j]
+      = q_all^T @ K_bd with K_bd the lane-tiled k masked to head-diagonal blocks —
+      ONE matmul with a heads*dp contraction (64 rows) and heads*LANES output lanes.
+    - AV (all heads): av[t, h*dp+d, i] = sum_j v[t, h*dp+d, j] * p_h[t, i, j]
+      = V_bd @ P_cat^T with P_cat the per-head softmaxes concatenated on lanes —
+      ONE matmul with a heads*LANES (=1024) contraction, fully filling the MXU.
+
+    The head-diagonal masks are iota comparisons (VPU); per-head softmax slices sit at
+    128-aligned lane offsets (free). Zero-padded head rows stay exactly zero.
+    """
+    tile = q_all.shape[0]
+    ip = num_heads * dp
+    lanes_all = num_heads * LANES
+
+    def bmm(a, b, contract):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (ip, lanes_all), 0) // dp
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (ip, lanes_all), 1) // LANES
+    bd = (row_head == col_head)[None]                       # (1, IP, H*LANES)
+
+    k_bd = jnp.where(bd, jnp.concatenate([k_all] * num_heads, axis=2), 0.0)
+    s_all = bmm(q_all, k_bd, ((1,), (1,))) * scale          # (T, LANES, H*LANES)
+    s_all = s_all + jnp.concatenate([bias] * num_heads, axis=-1)[None]
+    mask_t = jnp.concatenate([mask] * num_heads, axis=-1)
+    s_all = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), s_all)
+
+    p_cat = jnp.concatenate(
+        [
+            jax.nn.softmax(s_all[:, :, h * LANES : (h + 1) * LANES], axis=-1)
+            for h in range(num_heads)
+        ],
+        axis=2,
+    )                                                       # (T, LANES, H*LANES)
+    v_bd = jnp.where(bd, jnp.concatenate([v_all] * num_heads, axis=2), 0.0)
+    av_all = bmm(v_bd, p_cat, ((2,), (2,)))                 # (T, IP, LANES)
+    if return_res:
+        return av_all, (p_cat, k_bd, v_bd, bd)
+    return av_all
+
+
+def _headbatched_attention_grads(
+    q_all, g_av_all, res, num_heads, dp, scale
+):
+    """Gradients of the head-batched attention from the shared recompute residuals.
+
+    Same math as the per-head loop, expressed as large block-diagonal matmuls (full
+    MXU contraction). Returns (g_q_all, g_k_all, g_v_all, g_bias) with g_bias summed
+    over heads and the tile axis (the rel-pos table is shared across heads —
+    reference a001_WindowAttention.py:72-82).
+    """
+    p_cat, k_bd, v_bd, bd = res
+
+    def bmm(a, b, contract):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def diag_blocks(a):
+        """(T, IP, H*LANES) -> (T, IP, LANES): keep each row's own head block."""
+        a = jnp.where(bd, a, 0.0)
+        out = a[:, :, :LANES]
+        for h in range(1, num_heads):
+            out = out + a[:, :, h * LANES : (h + 1) * LANES]
+        return out
+
+    # g_p_h[t,i,j] = sum_d g_av[t,hd,i] v[t,hd,j]  (contraction IP)
+    g_p_cat = bmm(g_av_all, v_bd, ((1,), (1,)))             # (T, LANES, H*LANES)
+    # softmax backward per head block (0 at masked positions by construction)
+    g_s_heads = []
+    for h in range(num_heads):
+        sl = slice(h * LANES, (h + 1) * LANES)
+        p = p_cat[:, :, sl]
+        g_p = g_p_cat[:, :, sl]
+        tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
+        g_s_heads.append(p * (g_p - tmp))
+    g_s_cat = jnp.concatenate(g_s_heads, axis=2)            # (T, LANES, H*LANES)
+    g_bias = jnp.zeros((LANES, LANES), jnp.float32)
+    for g_s in g_s_heads:
+        g_bias = g_bias + jnp.sum(g_s, axis=0)
+    # g_v_h[t,hd,j] = sum_i g_av[t,hd,i] p_h[t,i,j]  (contraction LANES, then the
+    # diagonal head block of the (IP, H*LANES) result)
+    g_v_all = diag_blocks(bmm(g_av_all, p_cat, ((2,), (1,))))
+    # g_q[t,hd,i] = scale * sum_j k[t,hd,j] g_s_h[t,i,j]  (contraction H*LANES)
+    g_q_all = bmm(k_bd, g_s_cat, ((2,), (2,))) * scale
+    # g_k[t,hd,j] = scale * sum_i q[t,hd,i] g_s_h[t,i,j]
+    g_k_all = diag_blocks(bmm(q_all, g_s_cat, ((2,), (1,)))) * scale
+    return g_q_all, g_k_all, g_v_all, g_bias
 
 
 def _packed_block_fwd_body(
@@ -137,17 +246,22 @@ def _packed_block_fwd_body(
     k_all = bmm(bcast(wk_ref), ln_kv, ((2,), (1,))) + bk_ref[0].astype(jnp.float32)
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
-    av_heads = []
-    for h in range(num_heads):
-        sl = slice(h * dp, (h + 1) * dp)      # 8-aligned sublane slice
-        q = q_all[:, sl, :]                   # (TILE, dp, 128)
-        k = k_all[:, sl, :]
-        v = v_all[:, sl, :]
-        s = bmm(q, k, ((1,), (1,))) * scale + bias[None]   # (TILE, 128, 128)
-        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-        p = jax.nn.softmax(s, axis=-1)
-        av_heads.append(bmm(v, p, ((2,), (2,))))           # (TILE, dp, 128)
-    av_all = jnp.concatenate(av_heads, axis=1)             # (TILE, heads*dp, 128)
+    if FUSED_HEAD_MATMULS:
+        av_all = _headbatched_attention(
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale
+        )
+    else:
+        av_heads = []
+        for h in range(num_heads):
+            sl = slice(h * dp, (h + 1) * dp)  # 8-aligned sublane slice
+            q = q_all[:, sl, :]               # (TILE, dp, 128)
+            k = k_all[:, sl, :]
+            v = v_all[:, sl, :]
+            s = bmm(q, k, ((1,), (1,))) * scale + bias[None]   # (TILE, 128, 128)
+            s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+            p = jax.nn.softmax(s, axis=-1)
+            av_heads.append(bmm(v, p, ((2,), (2,))))           # (TILE, dp, 128)
+        av_all = jnp.concatenate(av_heads, axis=1)         # (TILE, heads*dp, 128)
 
     acc = bmm(bcast(wp_ref), av_all, ((2,), (1,)))         # (TILE, C, 128)
     y = x + acc + bp_ref[0].astype(jnp.float32)
@@ -289,19 +403,25 @@ def _packed_block_bwd_body(
     k_all = bmm(bcast(wk_ref), ln_kv, ((2,), (1,))) + bk_ref[0].astype(jnp.float32)
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
-    heads_p = []
-    av_heads = []
-    for h in range(num_heads):
-        sl = slice(h * dp, (h + 1) * dp)
-        q = q_all[:, sl, :]
-        k = k_all[:, sl, :]
-        v = v_all[:, sl, :]
-        s = bmm(q, k, ((1,), (1,))) * scale + bias[None]
-        s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-        p = jax.nn.softmax(s, axis=-1)
-        av_heads.append(bmm(v, p, ((2,), (2,))))
-        heads_p.append(p)
-    av_all = jnp.concatenate(av_heads, axis=1)
+    if FUSED_HEAD_MATMULS:
+        av_all, hb_res = _headbatched_attention(
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=True
+        )
+        heads_p = None
+    else:
+        heads_p = []
+        av_heads = []
+        for h in range(num_heads):
+            sl = slice(h * dp, (h + 1) * dp)
+            q = q_all[:, sl, :]
+            k = k_all[:, sl, :]
+            v = v_all[:, sl, :]
+            s = bmm(q, k, ((1,), (1,))) * scale + bias[None]
+            s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
+            p = jax.nn.softmax(s, axis=-1)
+            av_heads.append(bmm(v, p, ((2,), (2,))))
+            heads_p.append(p)
+        av_all = jnp.concatenate(av_heads, axis=1)
 
     acc = bmm(bcast(wp_ref), av_all, ((2,), (1,)))
     y = x + acc + bp_ref[0].astype(jnp.float32)
@@ -330,30 +450,34 @@ def _packed_block_bwd_body(
     g_av_all = bmm(bcast(wp_ref), g_y, ((1,), (1,)))                  # (TILE, IP, L)
     gwp_ref[0] += jnp.sum(bmm(g_y, av_all, ((2,), (2,))), axis=0)     # (C, IP)
 
-    g_q_heads, g_k_heads, g_v_heads = [], [], []
-    g_bias_acc = jnp.zeros((lanes, lanes), jnp.float32)
-    for h in range(num_heads):
-        sl = slice(h * dp, (h + 1) * dp)
-        q = q_all[:, sl, :]
-        k = k_all[:, sl, :]
-        v = v_all[:, sl, :]
-        p = heads_p[h]
-        g_av = g_av_all[:, sl, :]
-        g_p = bmm(g_av, v, ((1,), (1,)))                              # (TILE, L, L)
-        g_v = bmm(g_av, p, ((2,), (1,)))                              # (TILE, dp, L)
-        tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
-        g_s = p * (g_p - tmp)                                         # 0 at masked
-        g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
-        g_q = bmm(k, g_s, ((2,), (2,))) * scale                       # (TILE, dp, L)
-        g_k = bmm(q, g_s, ((2,), (1,))) * scale
-        g_q_heads.append(g_q)
-        g_k_heads.append(g_k)
-        g_v_heads.append(g_v)
+    if FUSED_HEAD_MATMULS:
+        g_q_all, g_k_all, g_v_all, g_bias_acc = _headbatched_attention_grads(
+            q_all, g_av_all, hb_res, num_heads, dp, scale
+        )
+    else:
+        g_q_heads, g_k_heads, g_v_heads = [], [], []
+        g_bias_acc = jnp.zeros((lanes, lanes), jnp.float32)
+        for h in range(num_heads):
+            sl = slice(h * dp, (h + 1) * dp)
+            q = q_all[:, sl, :]
+            k = k_all[:, sl, :]
+            v = v_all[:, sl, :]
+            p = heads_p[h]
+            g_av = g_av_all[:, sl, :]
+            g_p = bmm(g_av, v, ((1,), (1,)))                          # (TILE, L, L)
+            g_v = bmm(g_av, p, ((2,), (1,)))                          # (TILE, dp, L)
+            tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
+            g_s = p * (g_p - tmp)                                     # 0 at masked
+            g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
+            g_q = bmm(k, g_s, ((2,), (2,))) * scale                   # (TILE, dp, L)
+            g_k = bmm(q, g_s, ((2,), (1,))) * scale
+            g_q_heads.append(g_q)
+            g_k_heads.append(g_k)
+            g_v_heads.append(g_v)
+        g_q_all = jnp.concatenate(g_q_heads, axis=1)
+        g_k_all = jnp.concatenate(g_k_heads, axis=1)
+        g_v_all = jnp.concatenate(g_v_heads, axis=1)
     gbias_ref[0] += g_bias_acc
-
-    g_q_all = jnp.concatenate(g_q_heads, axis=1)
-    g_k_all = jnp.concatenate(g_k_heads, axis=1)
-    g_v_all = jnp.concatenate(g_v_heads, axis=1)
 
     g_lnx = bmm(bcast(wq_ref), g_q_all, ((1,), (1,)))                 # (TILE, C, L)
     g_lnkv = (

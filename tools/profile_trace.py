@@ -4,7 +4,7 @@ The reference has no profiling at all (SURVEY.md §5); this wires the TPU-native
 equivalent: a TensorBoard-viewable XPlane trace of the jitted hot path.
 
 Usage:
-    python tools/profile_trace.py [out_dir] [hw] [batch] [dtype]
+    python tools/profile_trace.py [out_dir] [hw] [batch] [dtype] [impl]
     tensorboard --logdir <out_dir>    # "Profile" tab
 """
 
@@ -20,15 +20,23 @@ def main():
     hw = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     dtype = sys.argv[4] if len(sys.argv) > 4 else "bfloat16"
+    impl = sys.argv[5] if len(sys.argv) > 5 else "pallas_pack"
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
     from swin_unet_image_fusion_tpu.config import ModelConfig
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
 
-    cfg = ModelConfig(compute_dtype=dtype)
+    cfg = ModelConfig(compute_dtype=dtype, attention_impl=impl)
     model = SwinFusionUNet(cfg)
     rng = np.random.default_rng(0)
     ir = jnp.asarray(rng.random((batch, hw, hw, 1), dtype=np.float32))
