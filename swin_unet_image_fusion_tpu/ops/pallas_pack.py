@@ -67,12 +67,25 @@ def _dp_pad(d: int) -> int:
 
 
 def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
-                       budget_bytes: int = 2 << 20) -> int:
-    """Window-pair rows per grid step under a VMEM strip budget (fp32 accounting,
-    counting the MLP hidden resident alongside the strip)."""
+                       num_heads: int = 8,
+                       budget_bytes: Optional[int] = None) -> int:
+    """Window-pair rows per grid step under a VMEM live-set budget.
+
+    With head-batched attention (FUSED_HEAD_MATMULS) the dominant per-pair residents
+    are the all-head score/softmax maps (2 x LANES x heads*LANES f32) and the
+    block-diagonal k/v (2 x ~heads*8 x heads*LANES f32), not the feature strip; the
+    strip + MLP-hidden term still matters at large C."""
+    if budget_bytes is None:
+        budget_bytes = (40 << 20) if FUSED_HEAD_MATMULS else (2 << 20)
+    per_pair = (c + hd) * LANES * 4
+    if FUSED_HEAD_MATMULS:
+        lanes_all = num_heads * LANES
+        per_pair += 2 * LANES * lanes_all * 4          # s_all + p_cat
+        per_pair += 2 * (num_heads * 8) * lanes_all * 4  # k_bd + v_bd (dp>=8)
+        per_pair += LANES * lanes_all                  # tiled int8 mask
     best = 1
     for r in range(1, n_rows + 1):
-        if n_rows % r == 0 and r * n_pairs_w * (c + hd) * LANES * 4 <= budget_bytes:
+        if n_rows % r == 0 and r * n_pairs_w * per_pair <= budget_bytes:
             best = r
     return best
 
@@ -538,21 +551,57 @@ def _packed_bwd_kernel_self(*refs, **kw):
 # ----------------------------------------------------------------- pack / unpack
 
 
+def shift_pad_geometry(
+    hw: Tuple[int, int], window: Tuple[int, int], shift: bool
+) -> Tuple[int, int, int, int, int, int]:
+    """Padded-map geometry for the roll-free window partition.
+
+    Shifted (SW-MSA) windows are computed WITHOUT ``torch.roll`` semantics
+    (reference ``a001_WindowAttention.py:419-446``): a standard partition of the map
+    zero-padded by ``window - shift`` on top/left is mathematically identical to
+    roll + wrap-masking — the wrap window's two regions are masked apart by the
+    reference (``a001:274-315``) so they never interact, the relative-position bias
+    depends only on in-window position deltas, and the top/left padding places each
+    edge region at exactly the in-window positions it occupies in the rolled wrap
+    window. Dropping the roll kills two full-feature-map copies per shifted block.
+
+    Returns (top, left, H', W', nh, nw) where (H', W') include bottom/right padding
+    to whole windows and nw is rounded up to an even pair count.
+    """
+    h, w = hw
+    wh, ww = window
+    top = wh - wh // 2 if shift else 0
+    left = ww - ww // 2 if shift else 0
+    hp = top + h
+    wp = left + w
+    hp += (-hp) % wh
+    wp += (-wp) % ww
+    nh, nw = hp // wh, wp // ww
+    if nw % 2:
+        nw += 1  # dummy (fully masked) window column so pairs pack evenly
+        wp += ww
+    return top, left, hp, wp, nh, nw
+
+
 def pack_windows_cmajor(
-    x: jnp.ndarray, window: Tuple[int, int]
+    x: jnp.ndarray, window: Tuple[int, int], shift: bool = False
 ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
     """(S, B, C, H, W) -> (S*B, nH, nPairsW, C, 128) with 2 windows per lane register.
 
     Token order within each 64-lane slot is the row-major (wh, ww) order the bias/mask
-    machinery uses; tokens 49..63 are zero pad (masked in attention).
+    machinery uses; tokens 49..63 are zero pad (masked in attention). ``shift=True``
+    selects the roll-free shifted partition (see :func:`shift_pad_geometry`); all
+    zero-padded positions are masked by :func:`_packed_mask`.
     """
     s, b, c, h, w = x.shape
     wh, ww = window
     t = wh * ww
-    nh, nw = h // wh, w // ww
-    if nw % 2:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, ww)))  # dummy window col
-        nw += 1
+    top, left, hp, wp, nh, nw = shift_pad_geometry((h, w), window, shift)
+    if top or left or hp > top + h or wp > left + w:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, 0), (top, hp - top - h), (left, wp - left - w)),
+        )
     np_w = nw // 2
     x = x.reshape(s, b, c, nh, wh, np_w, 2, ww)
     # -> (s, b, nh, np_w, c, pair, wh, ww)
@@ -564,35 +613,40 @@ def pack_windows_cmajor(
 
 
 def unpack_windows_cmajor(
-    xp: jnp.ndarray, window: Tuple[int, int], hw: Tuple[int, int]
+    xp: jnp.ndarray,
+    window: Tuple[int, int],
+    hw: Tuple[int, int],
+    shift: bool = False,
 ) -> jnp.ndarray:
     """Inverse of :func:`pack_windows_cmajor` -> (S, B, C, H, W) cropped to hw."""
     s, b, nh, np_w, c, _ = xp.shape
     wh, ww = window
     t = wh * ww
     h, w = hw
+    top, left, _, _, _, _ = shift_pad_geometry((h, w), window, shift)
     xp = xp.reshape(s, b, nh, np_w, c, 2, TOK)[..., :t]
     xp = xp.reshape(s, b, nh, np_w, c, 2, wh, ww)
     # inverse of (0,1,3,5,2,6,4,7)
     xp = xp.transpose(0, 1, 4, 2, 6, 3, 5, 7)
     xp = xp.reshape(s, b, c, nh * wh, np_w * 2 * ww)
-    return xp[..., :w]
+    return xp[..., top : top + h, left : left + w]
 
 
 @functools.lru_cache(maxsize=None)
 def _packed_mask(
     hw: Tuple[int, int], window: Tuple[int, int], shift: bool
 ) -> Tuple[np.ndarray, int]:
-    """(nPairs or 1, 128, 128) int8 mask: cross-window blocks, token padding, the
-    shift-window regions, and the dummy window column for odd nW."""
-    from .window import shift_attention_mask
+    """(nPairs or 1, 128, 128) int8 mask: cross-window blocks, token padding, and —
+    in the roll-free shifted partition — the zero-padded edge/dummy positions.
 
+    With the roll-free scheme (see :func:`shift_pad_geometry`) the reference's
+    wrap-region masking reduces to masking invalid (padded) tokens: regions that the
+    rolled formulation keeps apart inside one wrap window live in separate windows
+    here, so no intra-window region mask is needed."""
     h, w = hw
     wh, ww = window
     t = wh * ww
-    nh, nw = h // wh, w // ww
-    odd = nw % 2
-    nw_p = nw + odd
+    top, left, hp, wp, nh, nw = shift_pad_geometry(hw, window, shift)
 
     # fully masked except each window's own (T, T) block; pad tokens masked within it
     base = np.ones((LANES, LANES), np.int8)
@@ -602,23 +656,33 @@ def _packed_mask(
         blk[t:, :] = 1  # pad-token queries
         base[o : o + TOK, o : o + TOK] = blk
 
-    if not shift and not odd:
+    # validity of each in-window token per window row / column
+    def row_valid(r):  # (wh,) bool: does window-row r, in-window row i hold real data
+        rows = r * wh + np.arange(wh)
+        return (rows >= top) & (rows < top + h)
+
+    def col_valid(c):
+        cols = c * ww + np.arange(ww)
+        return (cols >= left) & (cols < left + w)
+
+    all_valid = all(row_valid(r).all() for r in (0, nh - 1)) and all(
+        col_valid(c).all() for c in (0, nw - 1)
+    )
+    if all_valid:
         return base[None], 1
 
-    shift_m = shift_attention_mask((h, w), window) if shift else None
-    n_pairs = nh * (nw_p // 2)
+    n_pairs = nh * (nw // 2)
     full = np.empty((n_pairs, LANES, LANES), np.int8)
     p = 0
     for r in range(nh):
-        for j in range(nw_p // 2):
+        rv = row_valid(r)
+        for j in range(nw // 2):
             m = base.copy()
             for slot, col in ((0, 2 * j), (1, 2 * j + 1)):
                 o = slot * TOK
-                if col >= nw:  # dummy window
-                    m[o : o + TOK, o : o + TOK] = 1
-                elif shift_m is not None:
-                    widx = r * nw + col
-                    m[o : o + t, o : o + t] |= shift_m[widx].astype(np.int8)
+                tok_valid = (rv[:, None] & col_valid(col)[None, :]).reshape(t)
+                bad = ~tok_valid
+                m[o : o + t, o : o + t] |= bad[None, :] | bad[:, None]
             full[p] = m
             p += 1
     return full, n_pairs
@@ -668,15 +732,14 @@ def pallas_packed_block(
     dp = _dp_pad(d)
     hd = w1.shape[-1]
 
-    if shift:
-        sh, sw = wh // 2, ww // 2
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(-2, -1))
+    # shifted windows are roll-free: a shifted-partition pack + pad-token masks is
+    # exactly equivalent to the reference's roll+wrap-mask (shift_pad_geometry)
     kv = jnp.flip(x, axis=0) if cross else None
 
-    xp, (nh, np_w, _) = pack_windows_cmajor(x, window)
-    kvp = pack_windows_cmajor(kv, window)[0] if cross else None
+    xp, (nh, np_w, _) = pack_windows_cmajor(x, window, shift)
+    kvp = pack_windows_cmajor(kv, window, shift)[0] if cross else None
 
-    r_t = pack_rows_per_tile(nh, np_w, c, hd)
+    r_t = pack_rows_per_tile(nh, np_w, c, hd, num_heads)
     n_tiles = nh // r_t
     tile = r_t * np_w
     n = s * b
@@ -913,7 +976,4 @@ def pallas_packed_block(
     )
 
     out = out.reshape(s, b, nh, np_w, c, LANES)
-    out = unpack_windows_cmajor(out, window, (h, w))
-    if shift:
-        out = jnp.roll(out, shift=(wh // 2, ww // 2), axis=(-2, -1))
-    return out
+    return unpack_windows_cmajor(out, window, (h, w), shift)
