@@ -37,15 +37,31 @@ class ModelConfig:
     # MXU-native mixed-precision path, "float32" is the parity mode.
     compute_dtype: str = "float32"
     # Window-attention implementation (all differentiable via custom VJPs):
+    #   "auto"         — "pallas_pack" on TPU backends, "jnp" elsewhere
     #   "jnp"          — XLA-fused composition (default; safest to compile)
     #   "pallas"       — fused attention kernel (2.1x faster e2e at 512^2 bf16)
     #   "pallas_block" — fully fused LN+attention+MLP block kernel
     #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
     #                    HBM lane padding; differentiable), "pallas" at deep stages.
-    #                    Fastest measured on TPU: 30.9 pairs/s @512^2 bf16 vs 26.9
+    #                    Fastest measured on TPU: 33.1 pairs/s @512^2 bf16 vs 26.9
     #                    ("pallas") / 13.0 ("jnp") — docs/BENCHMARKS.md
     #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "jnp"
+
+    def resolved_attention_impl(self) -> str:
+        """Resolve "auto" against the runtime backend (TPU -> the packed kernels)."""
+        if self.attention_impl != "auto":
+            return self.attention_impl
+        import jax
+
+        try:
+            is_tpu = any(
+                d.platform == "tpu" or d.device_kind.lower().startswith("tpu")
+                for d in jax.devices()
+            )
+        except Exception:
+            is_tpu = False
+        return "pallas_pack" if is_tpu else "jnp"
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
     # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger
     # batches / resolutions in training.

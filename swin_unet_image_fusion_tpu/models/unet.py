@@ -64,13 +64,15 @@ class SwinFusionUNet(nn.Module):
             else SelfAndCrossBlockPair
         )
 
+        attention_impl = cfg.resolved_attention_impl()  # "auto" -> backend choice
+
         # C-major trunk: under the pallas_pack impl the small-C stages run entirely
         # (S, B, C, H, W) — blocks AND the stage-boundary pad/merge/skip ops — so the
         # lane-padded NHWC buffers (C=1..96 padded to 128 lanes) never touch HBM.
         # pack_beneficial is the same predicate the block pair uses, evaluated at the
         # resolution its blocks will see (plan[k].att_hw).
         stage_cmajor = tuple(
-            cfg.attention_impl.startswith("pallas_pack")
+            attention_impl.startswith("pallas_pack")
             and pack_beneficial(cfg.out_dims_list[k], plan[k].att_hw[1])
             for k in range(n)
         )
@@ -103,7 +105,7 @@ class SwinFusionUNet(nn.Module):
                 proj_drop_ratio=cfg.linear_after_att_drop_ratio,
                 mlp_drop_ratio=cfg.mlp_drop_ratio,
                 dtype=dtype,
-                impl=cfg.attention_impl,
+                impl=attention_impl,
                 cmajor_io=stage_cmajor[k],
                 name=f"{role}{k}_blocks",
             )

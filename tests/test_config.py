@@ -50,3 +50,31 @@ def test_cli_rejects_garbage():
 def test_dims_per_head_floor():
     cfg = Config().model
     assert [cfg.dims_per_head(d) for d in cfg.out_dims_list] == [3, 6, 12, 24, 48]
+
+
+def test_auto_attention_impl_resolves_to_jnp_on_cpu():
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+
+    cfg = ModelConfig(attention_impl="auto")
+    assert cfg.resolved_attention_impl() == "jnp"  # tests force the CPU backend
+    assert ModelConfig().resolved_attention_impl() == "jnp"
+
+
+def test_auto_attention_impl_model_runs():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    cfg = ModelConfig(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+        attention_impl="auto",
+    )
+    model = SwinFusionUNet(cfg)
+    ir = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 1), np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, ir)
+    out = model.apply(variables, ir, ir)
+    assert out.shape == (1, 16, 16, 1)
