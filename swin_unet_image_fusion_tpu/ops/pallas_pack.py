@@ -733,11 +733,10 @@ def pallas_packed_block(
     hd = w1.shape[-1]
 
     # shifted windows are roll-free: a shifted-partition pack + pad-token masks is
-    # exactly equivalent to the reference's roll+wrap-mask (shift_pad_geometry)
-    kv = jnp.flip(x, axis=0) if cross else None
-
+    # exactly equivalent to the reference's roll+wrap-mask (shift_pad_geometry).
+    # The cross path's kv (the OTHER stream's features) is read from the same packed
+    # strips through a stream-flipped BlockSpec — no jnp.flip, no second pack.
     xp, (nh, np_w, _) = pack_windows_cmajor(x, window, shift)
-    kvp = pack_windows_cmajor(kv, window, shift)[0] if cross else None
 
     r_t = pack_rows_per_tile(nh, np_w, c, hd, num_heads)
     n_tiles = nh // r_t
@@ -766,10 +765,26 @@ def pallas_packed_block(
 
     col = lambda a: a[..., None]  # (S, C) -> (S, C, 1)
 
-    feat = pl.BlockSpec(
-        (1, tile, c, LANES), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    def feat_spec_pair(nt, tl):
+        """(feat, feat_other) BlockSpecs for a grid with nt tiles of tl pairs each.
+
+        feat_other reads the other stream's strip of the same array (the cross qkv
+        swap, reference a002_AutoPathWinAtt.py:67-73); identity when S != 2."""
+        own = pl.BlockSpec(
+            (1, tl, c, LANES), lambda i, r: (i * nt + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if s == 2:
+            other = pl.BlockSpec(
+                (1, tl, c, LANES),
+                lambda i, r: (((1 - i // b) * b + i % b) * nt + r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            other = own
+        return own, other
+
+    feat, feat_other = feat_spec_pair(n_tiles, tile)
 
     def stream_spec(shape, other=False):
         if other and s == 2:
@@ -788,14 +803,14 @@ def pallas_packed_block(
         )
 
     inner_p = num_heads * dp
-    feat_inputs = [feat, feat] if cross else [feat]
+    feat_inputs = [feat, feat_other] if cross else [feat]
     ln1kv_inputs = (
         [stream_spec((c, 1), other=cross), stream_spec((c, 1), other=cross)]
         if cross else []
     )
-    def make_in_specs(feat_spec, mask_sp):
+    def make_in_specs(feat_specs, mask_sp):
         return [
-            *([feat_spec] * len(feat_inputs)),
+            *feat_specs,
             stream_spec((c, 1)), stream_spec((c, 1)),
             *ln1kv_inputs,
             stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
@@ -809,7 +824,7 @@ def pallas_packed_block(
             stream_spec((c, hd)), stream_spec((c, 1)),
         ]
 
-    in_specs = make_in_specs(feat, mask_spec)
+    in_specs = make_in_specs(feat_inputs, mask_spec)
 
     static = dict(num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation)
     f32 = jnp.float32
@@ -853,10 +868,7 @@ def pallas_packed_block(
         f_b = bwd_split_factor(tile, LANES, num_heads)
         tile_b = tile // f_b
         n_tiles_b = n_tiles * f_b
-        feat_b = pl.BlockSpec(
-            (1, tile_b, c, LANES), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        feat_b, feat_other_b = feat_spec_pair(n_tiles_b, tile_b)
         if mask_n == 1:
             mask_spec_b = mask_spec
         else:
@@ -864,8 +876,8 @@ def pallas_packed_block(
                 (tile_b, LANES, LANES), lambda i, r: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        bwd_in_specs = make_in_specs(feat_b, mask_spec_b)
-        feat_inputs_b = [feat_b] * len(feat_inputs)
+        feat_inputs_b = [feat_b, feat_other_b] if cross else [feat_b]
+        bwd_in_specs = make_in_specs(feat_inputs_b, mask_spec_b)
 
         def retile(a):
             return a.reshape(n * n_tiles_b, tile_b, c, LANES)
@@ -961,7 +973,10 @@ def pallas_packed_block(
 
     core.defvjp(core_fwd, _backward)
 
-    feats = (to_strips(xp), to_strips(kvp)) if cross else (to_strips(xp),)
+    strips = to_strips(xp)
+    # cross kv = the same strips read through the stream-flipped BlockSpec; the two
+    # cotangents are summed into x by autodiff
+    feats = (strips, strips) if cross else (strips,)
     out = core(
         feats,
         col(ln1_scale), col(ln1_bias),
