@@ -291,26 +291,18 @@ class DualWindowAttention(nn.Module):
         wv, bv, wp, bp = p["wv"], p["bv"], p["wp"], p["bp"]
         bias = gather_relative_position_bias(p["table"], self.window_size)  # (S, T, T)
 
-        if self.shift:
-            x = cyclic_shift(x, self.window_size, reverse=False)
-            mask = shift_attention_mask((h, w), self.window_size)
-        else:
-            mask = None
-        # kv=None selects the single-DMA self-attention kernel variant
-        kv = jnp.flip(x, axis=0).astype(self.dtype) if self.cross else None
-
-        out = pallas_window_attention(
+        # shift and the cross qkv swap are handled inside the kernel (roll-free
+        # shifted partition; kv via a stream-flipped BlockSpec on the same strips)
+        return pallas_window_attention(
             x.astype(self.dtype),
-            kv,
-            wq, bq, wk, bk, wv, bv, wp, bp, bias, mask,
+            wq, bq, wk, bk, wv, bv, wp, bp, bias,
             window=self.window_size,
             num_heads=self.num_heads,
             dims_per_head=self.dims_per_head,
+            shift=self.shift,
+            cross=self.cross,
             interpret=self.impl == "pallas_interpret",
         )
-        if self.shift:
-            out = cyclic_shift(out, self.window_size, reverse=True)
-        return out
 
 
 class DualMLP(nn.Module):

@@ -60,6 +60,61 @@ def _padded_t(t: int) -> int:
     return ((t + T_PAD_MULTIPLE - 1) // T_PAD_MULTIPLE) * T_PAD_MULTIPLE
 
 
+def shift_pad_geometry(
+    hw: Tuple[int, int],
+    window: Tuple[int, int],
+    shift: bool,
+    even_cols: bool = False,
+) -> Tuple[int, int, int, int, int, int]:
+    """Padded-map geometry for the roll-free shifted window partition.
+
+    Shifted (SW-MSA) windows are computed WITHOUT ``torch.roll`` semantics
+    (reference ``a001_WindowAttention.py:419-446``): a standard partition of the map
+    zero-padded by ``window - shift`` on top/left is mathematically identical to
+    roll + wrap-masking — the wrap window's two regions are masked apart by the
+    reference (``a001:274-315``) so they never interact, the relative-position bias
+    depends only on in-window position deltas, and the top/left padding places each
+    edge region at exactly the in-window positions it occupies in the rolled wrap
+    window. Dropping the roll kills two full-feature-map copies per shifted block.
+
+    Returns (top, left, H', W', nh, nw); ``even_cols`` additionally rounds nw up to
+    an even count (the lane-packed kernel packs two windows per 128-lane register).
+    """
+    h, w = hw
+    wh, ww = window
+    top = wh - wh // 2 if shift else 0
+    left = ww - ww // 2 if shift else 0
+    hp = top + h
+    wp = left + w
+    hp += (-hp) % wh
+    wp += (-wp) % ww
+    nh, nw = hp // wh, wp // ww
+    if even_cols and nw % 2:
+        nw += 1  # dummy (fully masked) window column so pairs pack evenly
+        wp += ww
+    return top, left, hp, wp, nh, nw
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_edge_mask(hw: Tuple[int, int], window: Tuple[int, int]) -> np.ndarray:
+    """(nWin, T, T) int8 mask of the zero-padded edge tokens in the roll-free
+    shifted partition (the only masking SW-MSA needs in that formulation)."""
+    h, w = hw
+    wh, ww = window
+    t = wh * ww
+    top, left, hp, wp, n_rows, n_w = shift_pad_geometry(hw, window, True)
+    out = np.zeros((n_rows * n_w, t, t), np.int8)
+    for r in range(n_rows):
+        rows = r * wh + np.arange(wh)
+        rv = (rows >= top) & (rows < top + h)
+        for cidx in range(n_w):
+            cols = cidx * ww + np.arange(ww)
+            cv = (cols >= left) & (cols < left + w)
+            bad = ~(rv[:, None] & cv[None, :]).reshape(t)
+            out[r * n_w + cidx] = bad[None, :] | bad[:, None]
+    return out
+
+
 def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 << 20) -> int:
     """Window-rows per grid step: largest divisor of n_rows whose strip fits the VMEM
     budget. Deep stages have tiny rows (n_w as small as 2) — batching rows per step
@@ -345,7 +400,6 @@ def _full_mask(mask: Optional[np.ndarray], t: int, t_pad: int) -> Tuple[np.ndarr
 
 def pallas_window_attention(
     x: jnp.ndarray,
-    kv: Optional[jnp.ndarray],
     wq: jnp.ndarray,
     bq: jnp.ndarray,
     wk: jnp.ndarray,
@@ -355,28 +409,38 @@ def pallas_window_attention(
     wp: jnp.ndarray,
     bp: jnp.ndarray,
     bias: jnp.ndarray,
-    mask: Optional[np.ndarray],
     *,
     window: Tuple[int, int],
     num_heads: int,
     dims_per_head: int,
+    shift: bool = False,
+    cross: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused window attention over stacked streams.
 
-    x, kv: (S, B, H, W, C) with H, W divisible by the window (guaranteed by the static
-    shape plan). ``kv=None`` selects the self-attention kernel variant (single strip
-    DMA; kv grads folded into x's). Weights: wq/wk/wv (S, C, inner), wp (S, inner, C),
-    biases (S, inner) / (S, C); bias: (S, T, T) gathered rel-pos bias; mask:
-    (nWin, T, T) bool shift mask or None. Returns (S, B, H, W, C). Differentiable
+    x: (S, B, H, W, C) with H, W divisible by the window (guaranteed by the static
+    shape plan). ``cross=False`` selects the self-attention kernel variant (single
+    strip DMA; kv grads folded into x's); ``cross=True`` reads k/v from the OTHER
+    stream's strips of the same array via a stream-flipped BlockSpec (reference
+    a002_AutoPathWinAtt.py:67-73) — no flip, no second windowing pass. ``shift``
+    uses the roll-free shifted partition (see :func:`shift_pad_geometry`). Weights:
+    wq/wk/wv (S, C, inner), wp (S, inner, C), biases (S, inner) / (S, C); bias:
+    (S, T, T) gathered rel-pos bias. Returns (S, B, H, W, C). Differentiable
     (custom VJP).
     """
-    s, b, h, w, c = x.shape
+    s, b, orig_h, orig_w, c = x.shape
     wh, ww = window
     t = wh * ww
     tp = _padded_t(t)
-    n_rows = h // wh
-    n_w = w // ww
+    top, left, h, w, n_rows, n_w = shift_pad_geometry((orig_h, orig_w), window, shift)
+    if (h, w) != (orig_h, orig_w):
+        # zero-pad for the shifted partition; autodiff handles the pad/crop outside
+        # the custom_vjp core, and the edge mask hides the pad tokens
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (top, h - top - orig_h), (left, w - left - orig_w), (0, 0)),
+        )
     n = s * b
     inner = num_heads * dims_per_head
     d = dims_per_head
@@ -384,7 +448,8 @@ def pallas_window_attention(
     n_tiles = n_rows // r_t
     wt = r_t * n_w  # windows per grid step
 
-    mask_np, mask_nwin = _full_mask(mask, t, tp)
+    edge_mask = _shift_edge_mask((orig_h, orig_w), window) if shift else None
+    mask_np, mask_nwin = _full_mask(edge_mask, t, tp)
 
     # rel-pos bias padded to (S, TP, TP)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
@@ -432,11 +497,26 @@ def pallas_window_attention(
         stream_spec((tp, tp)),
     ]
 
-    same_kv = kv is None
-    feat = pl.BlockSpec(
-        (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    same_kv = not cross
+
+    def feat_spec_pair(nt, tl):
+        """(feat, feat_other) specs; feat_other reads the other stream's strip of
+        the same array (the cross qkv swap); identity when S != 2."""
+        own = pl.BlockSpec(
+            (1, tl, tp, c), lambda i, r: (i * nt + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if s == 2:
+            other = pl.BlockSpec(
+                (1, tl, tp, c),
+                lambda i, r: (((1 - i // b) * b + i % b) * nt + r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            other = own
+        return own, other
+
+    feat, feat_other = feat_spec_pair(n_tiles, wt)
     feat_shape = jax.ShapeDtypeStruct((n * n_tiles, wt, tp, c), x.dtype)
     grad_shapes = (
         jax.ShapeDtypeStruct((s, num_heads, c, d), jnp.float32),
@@ -469,12 +549,16 @@ def pallas_window_attention(
         # the mask constant is materialised inside each traced closure: a shared
         # jnp constant would leak as a tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
-        fw = [to_padded_windows(a).reshape(n * n_tiles, wt, tp, c) for a in feats]
+        (xf,) = feats
+        xw = to_padded_windows(xf).reshape(n * n_tiles, wt, tp, c)
+        # cross kv = the same strips read through the stream-flipped BlockSpec
+        fw = [xw] if same_kv else [xw, xw]
+        in_feat_specs = [feat] if same_kv else [feat, feat_other]
         kernel = _attention_fwd_kernel_self if same_kv else _attention_fwd_kernel
         out = pl.pallas_call(
             functools.partial(kernel, **static),
             grid=(n, n_tiles),
-            in_specs=[*([feat] * len(fw)), *weight_specs, mask_spec],
+            in_specs=[*in_feat_specs, *weight_specs, mask_spec],
             out_specs=feat,
             out_shape=feat_shape,
             compiler_params=tpu_compiler_params(),
@@ -490,10 +574,7 @@ def pallas_window_attention(
         f_b = bwd_split_factor(wt, tp, num_heads)
         wt_b = wt // f_b
         n_tiles_b = n_tiles * f_b
-        feat_b = pl.BlockSpec(
-            (1, wt_b, tp, c), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        feat_b, feat_other_b = feat_spec_pair(n_tiles_b, wt_b)
         if mask_nwin == 1:
             mask_spec_b = mask_spec
         else:
@@ -501,15 +582,21 @@ def pallas_window_attention(
                 (wt_b, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
             )
         feat_shape_b = jax.ShapeDtypeStruct((n * n_tiles_b, wt_b, tp, c), x.dtype)
-        fw = [to_padded_windows(a).reshape(n * n_tiles_b, wt_b, tp, c) for a in feats]
+        (xf,) = feats
+        xw = to_padded_windows(xf).reshape(n * n_tiles_b, wt_b, tp, c)
+        fw = [xw] if same_kv else [xw, xw]
+        in_feat_specs = [feat_b] if same_kv else [feat_b, feat_other_b]
         gw = to_padded_windows(g).reshape(n * n_tiles_b, wt_b, tp, c)
         kernel = _attention_bwd_kernel_self if same_kv else _attention_bwd_kernel
         n_feat_grads = 1 if same_kv else 2
+        # the kv gradient writes back through the flipped spec, landing at the
+        # physical strip it was read from; outside we sum the two contributions
+        out_feat_specs = [feat_b] if same_kv else [feat_b, feat_other_b]
         outs = pl.pallas_call(
             functools.partial(kernel, batch=b, **static),
             grid=(n, n_tiles_b),
-            in_specs=[*([feat_b] * len(fw)), *weight_specs, mask_spec_b, feat_b],
-            out_specs=(*([feat_b] * n_feat_grads), *grad_specs),
+            in_specs=[*in_feat_specs, *weight_specs, mask_spec_b, feat_b],
+            out_specs=(*out_feat_specs, *grad_specs),
             out_shape=(*([feat_shape_b] * n_feat_grads), *grad_shapes),
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
@@ -520,12 +607,12 @@ def pallas_window_attention(
         def unsplit_w(a):  # (S, heads, C, d) -> (S, C, inner)
             return a.transpose(0, 2, 1, 3).reshape(s, c, inner)
 
-        feat_grads = tuple(
-            from_padded_windows(fg.reshape(s, b * n_rows, n_w, tp, c))
-            for fg in feat_grads
-        )
+        g_x = feat_grads[0]
+        for extra in feat_grads[1:]:
+            g_x = g_x + extra  # q-path + kv-path contributions to the same array
+        g_x = from_padded_windows(g_x.reshape(s, b * n_rows, n_w, tp, c))
         return (
-            feat_grads,
+            (g_x,),
             unsplit_w(gwq).astype(wq.dtype), gbq.reshape(s, inner).astype(bq.dtype),
             unsplit_w(gwk).astype(wk.dtype), gbk.reshape(s, inner).astype(bk.dtype),
             unsplit_w(gwv).astype(wv.dtype), gbv.reshape(s, inner).astype(bv.dtype),
@@ -542,5 +629,7 @@ def pallas_window_attention(
         return _forward(*args), args
 
     core.defvjp(core_fwd, _backward)
-    feats = (x,) if same_kv else (x, kv)
-    return core(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    out = core((x,), wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    if (h, w) != (orig_h, orig_w):
+        out = out[:, :, top : top + orig_h, left : left + orig_w, :]
+    return out

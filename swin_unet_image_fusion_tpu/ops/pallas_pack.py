@@ -554,33 +554,11 @@ def _packed_bwd_kernel_self(*refs, **kw):
 def shift_pad_geometry(
     hw: Tuple[int, int], window: Tuple[int, int], shift: bool
 ) -> Tuple[int, int, int, int, int, int]:
-    """Padded-map geometry for the roll-free window partition.
+    """Packed-layout geometry: :func:`pallas_attention.shift_pad_geometry` with the
+    window-column count rounded to an even pair count (two windows per register)."""
+    from .pallas_attention import shift_pad_geometry as base
 
-    Shifted (SW-MSA) windows are computed WITHOUT ``torch.roll`` semantics
-    (reference ``a001_WindowAttention.py:419-446``): a standard partition of the map
-    zero-padded by ``window - shift`` on top/left is mathematically identical to
-    roll + wrap-masking — the wrap window's two regions are masked apart by the
-    reference (``a001:274-315``) so they never interact, the relative-position bias
-    depends only on in-window position deltas, and the top/left padding places each
-    edge region at exactly the in-window positions it occupies in the rolled wrap
-    window. Dropping the roll kills two full-feature-map copies per shifted block.
-
-    Returns (top, left, H', W', nh, nw) where (H', W') include bottom/right padding
-    to whole windows and nw is rounded up to an even pair count.
-    """
-    h, w = hw
-    wh, ww = window
-    top = wh - wh // 2 if shift else 0
-    left = ww - ww // 2 if shift else 0
-    hp = top + h
-    wp = left + w
-    hp += (-hp) % wh
-    wp += (-wp) % ww
-    nh, nw = hp // wh, wp // ww
-    if nw % 2:
-        nw += 1  # dummy (fully masked) window column so pairs pack evenly
-        wp += ww
-    return top, left, hp, wp, nh, nw
+    return base(hw, window, shift, even_cols=True)
 
 
 def pack_windows_cmajor(
