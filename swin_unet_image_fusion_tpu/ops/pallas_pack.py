@@ -840,10 +840,29 @@ def pallas_packed_block(
          bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
         mask_arr = jnp.asarray(mask_np)
 
-        # finer tiles than the forward: the bwd live set is ~O(heads) score-sized
-        # (TILE, 128, 128) tensors (see pallas_attention.bwd_split_factor); strips
-        # re-tile for free via a leading-dim reshape
-        f_b = bwd_split_factor(tile, LANES, num_heads)
+        # finer tiles than the forward: strips re-tile for free via a leading-dim
+        # reshape. The head-BATCHED backward keeps ~6 all-head score-sized
+        # (TILE, LANES, H*LANES) f32 tensors live (p/g_p/g_s + two matmul results),
+        # far fewer than the per-head-loop accounting in bwd_split_factor — use a
+        # matching estimate or the bwd degenerates to one pair per grid step.
+        if FUSED_HEAD_MATMULS:
+            lanes_all = num_heads * LANES
+            per_pair = (
+                6 * LANES * lanes_all * 4
+                + 2 * (num_heads * 8) * lanes_all * 4
+                + (c + hd) * LANES * 16
+            )
+            budget = 48 << 20
+            f_b = next(
+                (
+                    f
+                    for f in range(1, tile + 1)
+                    if tile % f == 0 and (tile // f) * per_pair <= budget
+                ),
+                tile,
+            )
+        else:
+            f_b = bwd_split_factor(tile, LANES, num_heads)
         tile_b = tile // f_b
         n_tiles_b = n_tiles * f_b
         feat_b, feat_other_b = feat_spec_pair(n_tiles_b, tile_b)
