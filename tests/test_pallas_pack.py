@@ -228,3 +228,32 @@ def test_packed_block_grad_parity_forced_bwd_split(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(lp), np.asarray(lr), rtol=2e-4, atol=2e-4, err_msg=str(pr)
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_packed_model_random_odd_sizes(seed):
+    """Roll-free shifted packing must match the jnp roll+mask model at arbitrary
+    (odd) resolutions, where the edge-window masks differ per size."""
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    rng = np.random.default_rng(100 + seed)
+    h = int(rng.integers(17, 47))
+    w = int(rng.integers(17, 47))
+    ir = jnp.asarray(rng.random((1, h, w, 1), np.float32))
+    vis = jnp.asarray(rng.random((1, h, w, 1), np.float32))
+
+    cfg = dict(
+        in_dims_list=(1, 8), out_dims_list=(8, 16),
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    ref_model = SwinFusionUNet(ModelConfig(**cfg))
+    params = jax.jit(ref_model.init)(jax.random.PRNGKey(seed), ir, vis)
+    out_ref = ref_model.apply(params, ir, vis, train=False)
+
+    pk_model = SwinFusionUNet(ModelConfig(attention_impl="pallas_pack_interpret", **cfg))
+    out_pk = pk_model.apply(params, ir, vis, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_ref), rtol=5e-5, atol=5e-5,
+        err_msg=f"size {h}x{w}",
+    )
