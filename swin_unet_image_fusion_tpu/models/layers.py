@@ -513,8 +513,6 @@ class BasicBlock(nn.Module):
         )(None, return_params=True)
 
         bias = gather_relative_position_bias(attn_params["table"], self.window_size)
-        h, w = x.shape[2], x.shape[3]
-        mask = shift_attention_mask((h, w), self.window_size) if self.shift else None
 
         return pallas_fused_block(
             x.astype(self.dtype),
@@ -524,7 +522,7 @@ class BasicBlock(nn.Module):
             ln1_bias=ln1_bias,
             attn=attn_params,
             bias=bias,
-            mask=mask,
+            mask=None,  # roll-free shift: the kernel derives the edge mask itself
             ln2_scale=ln2_scale,
             ln2_bias=ln2_bias,
             w1=mlp_params["w1"],

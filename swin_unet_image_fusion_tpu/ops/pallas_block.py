@@ -36,8 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_attention import (
     _full_mask,
     _padded_t,
+    _shift_edge_mask,
     bwd_split_factor,
     rows_per_tile,
+    shift_pad_geometry,
     tpu_compiler_params,
 )
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
@@ -420,13 +422,23 @@ def pallas_fused_block(
     activation: str = "elu",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One fused pre-norm Swin block on stacked streams (S, B, H, W, C) -> same."""
-    s, b, h, w, c = x.shape
+    """One fused pre-norm Swin block on stacked streams (S, B, H, W, C) -> same.
+
+    Shift uses the roll-free shifted partition (see
+    :func:`pallas_attention.shift_pad_geometry`); the cross path's k/v reads the
+    other stream's strips of the same windowed array through a stream-flipped
+    BlockSpec — no roll, no flip, no second windowing. ``mask`` is ignored (kept
+    for signature stability); the edge mask is derived from the geometry."""
+    s, b, orig_h, orig_w, c = x.shape
     wh, ww = window
     t = wh * ww
     tp = _padded_t(t)
-    n_rows = h // wh
-    n_w = w // ww
+    top, left, h, w, n_rows, n_w = shift_pad_geometry((orig_h, orig_w), window, shift)
+    if (h, w) != (orig_h, orig_w):
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (top, h - top - orig_h), (left, w - left - orig_w), (0, 0)),
+        )
     n = s * b
     d = dims_per_head
     hd = w1.shape[-1]
@@ -435,13 +447,8 @@ def pallas_fused_block(
     n_tiles = n_rows // r_t
     wt = r_t * n_w
 
-    from .window import cyclic_shift
-
-    if shift:
-        x = cyclic_shift(x, window, reverse=False)
-    kv = jnp.flip(x, axis=0) if cross else None  # None -> single-DMA self variant
-
-    mask_np, mask_nwin = _full_mask(mask, t, tp)
+    edge_mask = _shift_edge_mask((orig_h, orig_w), window) if shift else None
+    mask_np, mask_nwin = _full_mask(edge_mask, t, tp)
     bias_p = jnp.zeros((s, tp, tp), bias.dtype).at[:, :t, :t].set(bias)
 
     def split_heads_w(wmat):
@@ -459,12 +466,25 @@ def pallas_fused_block(
         return jnp.pad(aw, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
 
     xw = to_padded_windows(x).reshape(n * n_tiles, wt, tp, c)
-    kvw = to_padded_windows(kv).reshape(n * n_tiles, wt, tp, c) if cross else None
+    # cross kv = the same strips read through the stream-flipped BlockSpec
+    kvw = xw if cross else None
 
-    feat = pl.BlockSpec(
-        (1, wt, tp, c), lambda i, r: (i * n_tiles + r, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    def feat_spec_pair(nt, tl):
+        own = pl.BlockSpec(
+            (1, tl, tp, c), lambda i, r: (i * nt + r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if s == 2:
+            other = pl.BlockSpec(
+                (1, tl, tp, c),
+                lambda i, r: (((1 - i // b) * b + i % b) * nt + r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            other = own
+        return own, other
+
+    feat, feat_other = feat_spec_pair(n_tiles, wt)
 
     def stream_spec(shape, other_stream=False):
         if other_stream and s == 2:
@@ -485,15 +505,15 @@ def pallas_fused_block(
     kv_is_other = cross and s == 2
 
     # self mode drops the kv strip and the other-stream LN1 weight inputs entirely
-    feat_inputs = [feat, feat] if cross else [feat]
+    feat_inputs = [feat, feat_other] if cross else [feat]
     ln1kv_inputs = (
         [stream_spec((1, c), other_stream=kv_is_other),
          stream_spec((1, c), other_stream=kv_is_other)]
         if cross else []
     )
-    def make_in_specs(feat_spec, mask_sp):
+    def make_in_specs(feat_specs, mask_sp):
         return [
-            *([feat_spec] * len(feat_inputs)),
+            *feat_specs,
             stream_spec((1, c)), stream_spec((1, c)),
             *ln1kv_inputs,
             stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
@@ -507,7 +527,7 @@ def pallas_fused_block(
             stream_spec((hd, c)), stream_spec((1, c)),
         ]
 
-    fwd_in_specs = make_in_specs(feat, mask_spec)
+    fwd_in_specs = make_in_specs(feat_inputs, mask_spec)
 
     def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
                  bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
@@ -550,18 +570,15 @@ def pallas_fused_block(
         f_b = bwd_split_factor(wt, tp, num_heads)
         wt_b = wt // f_b
         n_tiles_b = n_tiles * f_b
-        feat_b = pl.BlockSpec(
-            (1, wt_b, tp, c), lambda i, r: (i * n_tiles_b + r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        feat_b, feat_other_b = feat_spec_pair(n_tiles_b, wt_b)
         if mask_nwin == 1:
             mask_spec_b = mask_spec
         else:
             mask_spec_b = pl.BlockSpec(
                 (wt_b, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
             )
-        feat_inputs_b = [feat_b] * len(feat_inputs)
-        bwd_in_specs = make_in_specs(feat_b, mask_spec_b)
+        feat_inputs_b = [feat_b, feat_other_b] if cross else [feat_b]
+        bwd_in_specs = make_in_specs(feat_inputs_b, mask_spec_b)
 
         def retile(a):
             return a.reshape(n * n_tiles_b, wt_b, tp, c)
@@ -683,6 +700,6 @@ def pallas_fused_block(
 
     out = out.reshape(s, b * n_rows, n_w, tp, c)[:, :, :, :t, :]
     out = window_unpartition(out.reshape(s, b * n_rows * n_w, t, c), window, (h, w))
-    if shift:
-        out = cyclic_shift(out, window, reverse=True)
+    if (h, w) != (orig_h, orig_w):
+        out = out[:, :, top : top + orig_h, left : left + orig_w, :]
     return out
