@@ -37,8 +37,9 @@ class ModelConfig:
     # MXU-native mixed-precision path, "float32" is the parity mode.
     compute_dtype: str = "float32"
     # Window-attention implementation (all differentiable via custom VJPs):
-    #   "auto"         — "pallas_pack" on TPU backends, "jnp" elsewhere
-    #   "jnp"          — XLA-fused composition (default; safest to compile)
+    #   "auto"         — (default) "pallas_pack" on TPU backends, "jnp" elsewhere;
+    #                    falls back to "jnp" (warning) when any dropout ratio > 0
+    #   "jnp"          — XLA-fused composition (safest to compile)
     #   "pallas"       — fused attention kernel (2.1x faster e2e at 512^2 bf16)
     #   "pallas_block" — fully fused LN+attention+MLP block kernel
     #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
@@ -46,22 +47,44 @@ class ModelConfig:
     #                    Fastest measured on TPU: 33.1 pairs/s @512^2 bf16 vs 26.9
     #                    ("pallas") / 13.0 ("jnp") — docs/BENCHMARKS.md
     #   "*_interpret"  — interpreter-mode variants for CPU tests
-    attention_impl: str = "jnp"
+    attention_impl: str = "auto"
 
     def resolved_attention_impl(self) -> str:
-        """Resolve "auto" against the runtime backend (TPU -> the packed kernels)."""
-        if self.attention_impl != "auto":
-            return self.attention_impl
-        import jax
+        """Resolve "auto" against the runtime backend (TPU -> the packed kernels).
 
-        try:
-            is_tpu = any(
-                d.platform == "tpu" or d.device_kind.lower().startswith("tpu")
-                for d in jax.devices()
+        The fused Pallas kernels do not implement dropout; when any dropout ratio is
+        nonzero a pallas choice falls back to the jnp path (with a warning) instead
+        of crashing at trace time — every reference-legal config
+        (a001_WindowAttention.py:20-22, a003_AutoPathMLP.py:26-31) trains on every
+        impl setting.
+        """
+        impl = self.attention_impl
+        if impl == "auto":
+            import jax
+
+            try:
+                is_tpu = any(
+                    d.platform == "tpu" or d.device_kind.lower().startswith("tpu")
+                    for d in jax.devices()
+                )
+            except Exception:
+                is_tpu = False
+            impl = "pallas_pack" if is_tpu else "jnp"
+        has_dropout = (
+            self.attention_drop_ratio
+            or self.linear_after_att_drop_ratio
+            or self.mlp_drop_ratio
+        )
+        if has_dropout and impl.startswith("pallas"):
+            import warnings
+
+            warnings.warn(
+                f"attention_impl={impl!r} does not support dropout; falling back to "
+                "the jnp path (set all drop ratios to 0.0 to use the fused kernels)",
+                stacklevel=2,
             )
-        except Exception:
-            is_tpu = False
-        return "pallas_pack" if is_tpu else "jnp"
+            impl = "jnp"
+        return impl
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
     # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger
     # batches / resolutions in training.

@@ -41,6 +41,15 @@ from ..ops.window import (
 # reference a016_train.py:382-390
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
+# For stream-stacked kernels of shape (S, in, out): the leading stream axis is a
+# batch of independent per-stream Linear layers, NOT part of the receptive field.
+# Without batch_axis=0 flax would compute fan_in = S*in, making init std sqrt(S)
+# too small vs torch's per-stream kaiming_normal_ (std sqrt(2/in)) — which changes
+# from-scratch training dynamics at lr=1e-2 on a 33M-param model.
+stacked_kaiming_normal = nn.initializers.variance_scaling(
+    2.0, "fan_in", "normal", batch_axis=0
+)
+
 
 def matmul_precision(dtype) -> jax.lax.Precision | None:
     """fp32 compute asks the MXU for full-precision passes (parity with the fp32
@@ -77,7 +86,10 @@ class StackedDense(nn.Module):
     def __call__(self, x: Optional[jnp.ndarray] = None):
         in_dim = self.in_features if x is None else x.shape[2 if self.cmajor else -1]
         kernel = self.param(
-            "kernel", kaiming_normal, (self.streams, in_dim, self.features), jnp.float32
+            "kernel",
+            stacked_kaiming_normal,
+            (self.streams, in_dim, self.features),
+            jnp.float32,
         )
         if x is None:
             bias = (

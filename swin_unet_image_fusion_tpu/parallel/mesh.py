@@ -54,19 +54,42 @@ def maybe_initialize_distributed() -> int:
     if addr:
         nproc = os.environ.get("JAX_NUM_PROCESSES")
         pid = os.environ.get("JAX_PROCESS_ID")
-        try:
-            jax.distributed.initialize(
-                coordinator_address=addr,
-                num_processes=int(nproc) if nproc else None,
-                process_id=int(pid) if pid else None,
+        from jax._src import distributed as _distributed
+
+        already = getattr(_distributed.global_state, "client", None) is not None
+        if not already:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=addr,
+                    num_processes=int(nproc) if nproc else None,
+                    process_id=int(pid) if pid else None,
+                )
+            except RuntimeError as e:
+                # Only tolerate double-initialization (e.g. by the launcher); a
+                # genuinely failed init (bad coordinator address, timeout) must fail
+                # loudly — silently degrading to independent single-process training
+                # with disjoint data shards and a shared checkpoint dir corrupts runs.
+                if "already initialized" not in str(e).lower():
+                    raise
+        if nproc is not None and jax.process_count() != int(nproc):
+            raise RuntimeError(
+                f"jax.distributed came up with process_count={jax.process_count()} "
+                f"but JAX_NUM_PROCESSES={nproc}"
             )
-        except RuntimeError:
-            pass  # already initialized (e.g. by the launcher)
     return jax.process_index()
 
 
 def process_local_shard(indices, *, process_index: int | None = None, process_count: int | None = None):
-    """Split a dataset index list across hosts (each host feeds its local devices)."""
+    """Split a dataset index list across hosts (each host feeds its local devices).
+
+    Every host's shard is trimmed to the common length ``len(indices) // pc``:
+    strided slicing alone gives hosts lengths that differ by one when
+    ``len(indices) % pc != 0``, and since each host iterates its own loader in the
+    collective train/eval loops, a ragged shard would make hosts run different
+    numbers of collective steps (global-array assembly + DP reduce) and deadlock the
+    slice at epoch end.
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return indices[pi::pc]
+    common = len(indices) // pc
+    return indices[pi::pc][:common]

@@ -298,9 +298,16 @@ class Trainer:
             fusion, terms = self.eval_step(self.state, batch["ir"], batch["vis"])
             self.val_meter.record({k: float(v) for k, v in terms.items()})
             if i == 1 and self.is_main_process:
-                # multi-host: only the locally-addressable shard is dumped to PNG
+                # multi-host: only the locally-addressable shard is dumped to PNG;
+                # sort shards by batch offset — iteration order is not guaranteed,
+                # and the ir/vis/fusion rows must share one deterministic order
                 to_host = (
-                    (lambda a: np.concatenate([np.asarray(s.data) for s in a.addressable_shards]))
+                    (lambda a: np.concatenate([
+                        np.asarray(s.data)
+                        for s in sorted(
+                            a.addressable_shards, key=lambda s: s.index[0].start or 0
+                        )
+                    ]))
                     if jax.process_count() > 1
                     else np.asarray
                 )
@@ -336,7 +343,8 @@ class Trainer:
             f"EpIters{self.iter_in_epoch}_TotalIters{self.total_iters}.png"
         )
         path = os.path.join(self.cfg.log.save_vali_results_to_folder, name)
-        fig.savefig(path, bbox_inches="tight", pad_inches=0, dpi=300)
+        # dpi parity with the reference grids (a016_train.py:298)
+        fig.savefig(path, bbox_inches="tight", pad_inches=0, dpi=1024)
         plt.close(fig)
         print(cyan(f"Validation results saved to '{path}'"))
 

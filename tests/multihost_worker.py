@@ -77,4 +77,11 @@ idx = np.arange(10)
 mine = process_local_shard(idx)
 assert len(mine) in (5,), len(mine)
 
+# ragged case: len(indices) % process_count != 0 — every host must still see the
+# SAME shard length, or hosts run different numbers of collective steps and the
+# slice deadlocks at epoch end (ADVICE round 1)
+for n in (9, 11, 13):
+    ragged = process_local_shard(np.arange(n))
+    assert len(ragged) == n // num_processes, (n, len(ragged))
+
 print(f"MULTIHOST_OK proc={process_id} grad={float(g[0]):.6f}")

@@ -57,7 +57,20 @@ def test_auto_attention_impl_resolves_to_jnp_on_cpu():
 
     cfg = ModelConfig(attention_impl="auto")
     assert cfg.resolved_attention_impl() == "jnp"  # tests force the CPU backend
+    assert ModelConfig().attention_impl == "auto"  # fast path is the default
     assert ModelConfig().resolved_attention_impl() == "jnp"
+
+
+def test_pallas_impl_with_dropout_falls_back_to_jnp():
+    """Reference-legal dropout configs (a001:20-22) must not crash the fused paths."""
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+
+    for impl in ["pallas", "pallas_block", "pallas_pack"]:
+        cfg = ModelConfig(attention_impl=impl, mlp_drop_ratio=0.1)
+        with pytest.warns(UserWarning, match="does not support dropout"):
+            assert cfg.resolved_attention_impl() == "jnp"
+    # zero ratios keep the explicit choice
+    assert ModelConfig(attention_impl="pallas").resolved_attention_impl() == "pallas"
 
 
 def test_auto_attention_impl_model_runs():
