@@ -67,10 +67,11 @@ def _pad_zeros(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _ms_ssim_kernels(num_channels: int, sigmas: Tuple[float, ...]) -> np.ndarray:
-    """(kh, kw, C, n_sigmas) depthwise kernel stack; filter size = 4*max_sigma+1 (=33)."""
+    """(kh, kw, 1, C*n_sigmas) grouped-conv kernel stack (HWIO, groups=C): per input
+    channel, the n_sigmas Gaussian masks. Filter size = 4*max_sigma+1 (=33)."""
     size = int(4 * sigmas[-1] + 1)
     ks = np.stack([gaussian_kernel_2d(size, s) for s in sigmas], axis=-1)  # (kh,kw,S)
-    ks = np.repeat(ks[:, :, None, :], num_channels, axis=2)  # (kh,kw,C,S)
+    ks = np.tile(ks[:, :, None, :], (1, 1, 1, num_channels))  # (kh,kw,1,C*S)
     return ks.astype(np.float32)
 
 
@@ -87,9 +88,22 @@ def ms_ssim_l1_loss(
     """kornia ``MS_SSIMLoss`` parity: mixed MS-SSIM + Gaussian-weighted L1 (Zhao et al.).
 
     img1/img2: (B, H, W, C) in [0, data_range]. Returns the scalar mean loss.
+
+    kornia builds its Gaussian mask bank **triplicated per sigma** — shape
+    ``(3*n_sigmas, 1, 33, 33)``, RGB-interleaved — and applies it with ``groups=C``.
+    The resulting 15-slot channel stack maps slot ``j`` to input channel
+    ``j // (3*n_sigmas // C)`` filtered at sigma ``j // 3``; the luminance term is
+    the product of the three *coarsest slots* and the cs term the product over all
+    slots. For the reference's 1-channel images that cubes both products relative to
+    the textbook formula — preserved here exactly (golden-tested against the torch
+    ground truth in ``tests/kornia_ref.py``).
     """
     c = img1.shape[-1]
     n_s = len(sigmas)
+    if (3 * n_s) % c or 3 % c:
+        raise ValueError(
+            f"kornia's grouped MS-SSIM mask bank supports C in (1, 3); got C={c}"
+        )
     kernels = jnp.asarray(_ms_ssim_kernels(c, tuple(sigmas)))
     pad = int(2 * sigmas[-1])
     c1 = (k[0] * data_range) ** 2
@@ -113,16 +127,25 @@ def ms_ssim_l1_loss(
     l_map = l_map.reshape(b, h, w, c, n_s)
     cs_map = cs_map.reshape(b, h, w, c, n_s)
 
-    # luminance only from the coarsest scale, product over channels
-    lm = jnp.prod(l_map[..., -1], axis=-1)  # (B, H, W)
-    # contrast-structure product over every (channel, scale)
-    pics = jnp.prod(cs_map.reshape(b, h, w, c * n_s), axis=-1)
+    # kornia's grouped-conv slot layout: slot j -> (channel j // (3*n_s//C), sigma j//3)
+    slots = np.arange(3 * n_s)
+    slot_ch = slots // (3 * n_s // c)
+    slot_sigma = slots // 3
+
+    # luminance: product of the three coarsest slots (cubed for C=1)
+    lm = jnp.prod(l_map[..., slot_ch[-3:], slot_sigma[-3:]], axis=-1)  # (B, H, W)
+    # contrast-structure: product over all 3*n_s slots
+    pics = jnp.prod(cs_map[..., slot_ch, slot_sigma], axis=-1)
     loss_ms_ssim = 1.0 - lm * pics  # (B, H, W)
 
-    # L1 smoothed by the largest-sigma Gaussian, averaged over channels
+    # L1 smoothed by the largest-sigma Gaussian; the final 3 masks map to input
+    # channel j // (3 // C), averaged (for C=1: three identical maps)
     l1 = jnp.abs(img1.astype(jnp.float32) - img2.astype(jnp.float32))
-    largest = kernels[..., -1:]  # (kh, kw, C, 1)
-    gaussian_l1 = _depthwise_conv_nhwc(_pad_zeros(l1, pad), largest, "VALID").mean(-1)
+    # the coarsest-sigma mask for each input channel (out channel ch*n_s + n_s-1)
+    largest = kernels[..., np.arange(c) * n_s + (n_s - 1)]  # (kh, kw, 1, C)
+    smoothed = _depthwise_conv_nhwc(_pad_zeros(l1, pad), largest, "VALID")  # (B,H,W,C)
+    l1_ch = np.arange(3) // (3 // c)
+    gaussian_l1 = smoothed[..., l1_ch].mean(-1)
 
     loss_mix = alpha * loss_ms_ssim + (1.0 - alpha) * gaussian_l1 / data_range
     return compensation * loss_mix.mean()
@@ -131,7 +154,7 @@ def ms_ssim_l1_loss(
 @functools.lru_cache(maxsize=8)
 def _ssim_kernel(num_channels: int, window_size: int, sigma: float) -> np.ndarray:
     k2 = gaussian_kernel_2d(window_size, sigma)
-    return np.repeat(k2[:, :, None, None], num_channels, axis=2).astype(np.float32)
+    return np.tile(k2[:, :, None, None], (1, 1, 1, num_channels)).astype(np.float32)
 
 
 def ssim_index(
@@ -146,8 +169,9 @@ def ssim_index(
 ) -> jnp.ndarray:
     """Per-pixel SSIM map, kornia ``kornia.metrics.ssim`` parity (Gaussian window).
 
-    ``padding='same'`` zero-pads so the map keeps the input resolution (kornia pads the
-    *inputs* with zeros before the valid conv).
+    kornia filters through ``filter2d`` whose default border is **reflect**, so
+    ``padding='same'`` reflect-pads the inputs before the valid conv (keeping the
+    input resolution); ``padding='valid'`` crops the border instead.
     """
     c = img1.shape[-1]
     kernel = jnp.asarray(_ssim_kernel(c, window_size, sigma))
@@ -156,9 +180,9 @@ def ssim_index(
 
     x = img1.astype(jnp.float32)
     y = img2.astype(jnp.float32)
-    if padding == "same":
-        pad = window_size // 2
-        x, y = _pad_zeros(x, pad), _pad_zeros(y, pad)
+    pad = window_size // 2
+    x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
+    y = jnp.pad(y, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
 
     mux = _depthwise_conv_nhwc(x, kernel, "VALID")
     muy = _depthwise_conv_nhwc(y, kernel, "VALID")
@@ -167,9 +191,12 @@ def ssim_index(
     sigmay2 = _depthwise_conv_nhwc(y * y, kernel, "VALID") - muy2
     sigmaxy = _depthwise_conv_nhwc(x * y, kernel, "VALID") - muxy
 
-    return ((2.0 * muxy + c1) * (2.0 * sigmaxy + c2)) / (
+    ssim_map = ((2.0 * muxy + c1) * (2.0 * sigmaxy + c2)) / (
         (mux2 + muy2 + c1) * (sigmax2 + sigmay2 + c2)
     )
+    if padding == "valid":
+        ssim_map = ssim_map[:, pad:-pad, pad:-pad, :]
+    return ssim_map
 
 
 def ssim_loss(
@@ -179,9 +206,10 @@ def ssim_loss(
     window_size: int = 11,
     max_val: float = 1.0,
 ) -> jnp.ndarray:
-    """kornia ``ssim_loss`` parity: mean of (1 - SSIM) / 2 (a008_loss.py:112-127 doubles it)."""
+    """kornia ``ssim_loss`` parity: mean of clamp((1 - SSIM)/2, 0, 1)
+    (a008_loss.py:112-127 doubles it)."""
     s = ssim_index(img1, img2, window_size=window_size, max_val=max_val)
-    return ((1.0 - s) / 2.0).mean()
+    return jnp.clip((1.0 - s) / 2.0, 0.0, 1.0).mean()
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:

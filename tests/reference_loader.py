@@ -1,9 +1,11 @@
 """Import helpers for the read-only PyTorch reference at /root/reference.
 
 The reference is imported (never copied) to produce golden values for parity tests.
-kornia is not installed in this image, and several reference modules import it at module
-scope, so a minimal stub is injected first — the stubbed symbols are only referenced by
-loss paths our parity tests do not execute.
+kornia is not installed in this image, and several reference modules import it at
+module scope, so a working substitute is injected: ``tests/kornia_ref.py`` — faithful
+torch reimplementations of exactly the kornia ops the reference loss uses — is
+installed under the ``kornia`` module names, which makes the reference ``MyLoss``
+fully executable for end-to-end loss-parity tests.
 """
 
 import sys
@@ -15,22 +17,18 @@ REFERENCE_PATH = "/root/reference"
 def _stub_kornia():
     if "kornia" in sys.modules:
         return
+    sys.path.insert(0, "/root/repo/tests")
+    import kornia_ref
+
     kornia = types.ModuleType("kornia")
     losses = types.ModuleType("kornia.losses")
     filters = types.ModuleType("kornia.filters")
 
-    class _Stub:  # placeholder for MS_SSIMLoss / PSNRLoss / Canny / Sobel
-        def __init__(self, *a, **k):
-            pass
-
-        def __call__(self, *a, **k):
-            raise RuntimeError("kornia stub: not executable in tests")
-
-    losses.ssim_loss = _Stub()
-    losses.MS_SSIMLoss = _Stub
-    losses.PSNRLoss = _Stub
-    filters.Canny = _Stub
-    filters.Sobel = _Stub
+    losses.ssim_loss = kornia_ref.ssim_loss
+    losses.MS_SSIMLoss = kornia_ref.MS_SSIMLoss
+    losses.PSNRLoss = kornia_ref.PSNRLoss
+    filters.Canny = kornia_ref.Canny
+    filters.Sobel = kornia_ref.Sobel
     kornia.losses = losses
     kornia.filters = filters
     sys.modules["kornia"] = kornia
