@@ -73,4 +73,6 @@ def reference_model(model_config, seed: int = 0):
 
 
 def torch_state_numpy(model):
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # .copy(): .numpy() returns a VIEW of the tensor's storage — without it, a later
+    # in-place optimizer step would silently mutate a captured "initial" snapshot
+    return {k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()}

@@ -1,0 +1,193 @@
+"""k-step training-dynamics parity: torch reference vs the JAX train step.
+
+Imports identical weights into both frameworks, runs k Adam steps on the same fixed
+batch (fp32, CPU, train mode), and asserts per-step loss values and the final
+parameter deltas match within fp32 tolerance. This closes loss + gradient + clamp +
+optimizer + LR-schedule parity end-to-end against the reference inner loop
+(``/root/reference/a016_train.py:136-196``): forward -> ``clamp_[0,1]`` ->
+``MyLoss.calcu_total_loss`` -> backward -> ``Adam.step`` ->
+``CosineAnnealingWarmRestarts.step(fractional epoch)``.
+
+The reference loss runs on the kornia ground truth in ``tests/kornia_ref.py``
+(kornia itself is not installed; see reference_loader).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swin_unet_image_fusion_tpu.config import Config, ModelConfig, OptimConfig
+from swin_unet_image_fusion_tpu.models.torch_import import convert_torch_state_dict
+from swin_unet_image_fusion_tpu.train import TrainState, make_train_step
+from swin_unet_image_fusion_tpu.optim import make_optimizer
+
+from reference_loader import load_reference, reference_model, torch_state_numpy
+
+TINY = ModelConfig(
+    in_dims_list=(1, 8),
+    out_dims_list=(8, 16),
+    att_num_heads=2,
+    att_dims_per_head_ratio=1 / 2,
+)
+K_STEPS = 4
+ITERS_PER_EPOCH = 4  # small so the fractional LR schedule actually moves within k steps
+
+
+def _torch_reference_run(ir_np, vis_np, k, lr, eta_min, t0):
+    """Replicates a016_train.py:136-196 + 109-113 exactly on the reference model."""
+    load_reference()
+    import torch
+    from a008_loss import MyLoss  # noqa: E402
+
+    ref = reference_model(TINY, seed=0)
+    ref.train()
+    my_loss = MyLoss()
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, eta_min=eta_min
+    )
+    ir = torch.from_numpy(ir_np)
+    vis = torch.from_numpy(vis_np)
+
+    losses, lrs = [], []
+    initial_state = torch_state_numpy(ref)
+    for i in range(1, k + 1):  # current_iters_in_one_epoch, 1-based
+        fusion = ref(ir, vis)
+        fusion = torch.clamp_(input=fusion, min=0, max=1)  # a016_train.py:153
+        loss, _ = my_loss.calcu_total_loss(fusion, ir, vis)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        # a016_train.py:109-113: epoch 1, fractional epoch (i-1)/iters_per_epoch
+        sched.step(0 + (i - 1) / ITERS_PER_EPOCH)
+        losses.append(float(loss.detach()))
+        lrs.append(float(sched.get_last_lr()[0]))
+    return initial_state, torch_state_numpy(ref), losses, lrs
+
+
+def _jax_run(initial_state, ir_np, vis_np, k, cfg):
+    params, batch_stats = convert_torch_state_dict(initial_state, cfg.model)
+    tx = make_optimizer(cfg.optim, ITERS_PER_EPOCH)
+    state = TrainState.create(
+        apply_fn=None, params=params, tx=tx, batch_stats=batch_stats
+    )
+    step_fn = make_train_step(cfg, donate=False)
+    ir = jnp.asarray(ir_np.transpose(0, 2, 3, 1))
+    vis = jnp.asarray(vis_np.transpose(0, 2, 3, 1))
+    losses = []
+    for _ in range(k):
+        state, terms = step_fn(state, ir, vis)
+        losses.append(float(terms["total_loss"]))
+    return state, losses
+
+
+@pytest.mark.parametrize("k", [K_STEPS])
+def test_k_step_training_dynamics_parity(k):
+    rng = np.random.default_rng(0)
+    ir_np = rng.random((2, 1, 28, 28), dtype=np.float32)
+    vis_np = rng.random((2, 1, 28, 28), dtype=np.float32)
+
+    cfg = Config(model=TINY, optim=OptimConfig())
+    lr, eta_min, t0 = cfg.optim.lr, cfg.optim.minimum_lr, cfg.optim.scheduler_t0
+
+    initial_state, final_state, ref_losses, ref_lrs = _torch_reference_run(
+        ir_np, vis_np, k, lr, eta_min, t0
+    )
+    state, losses = _jax_run(initial_state, ir_np, vis_np, k, cfg)
+
+    # per-step loss parity: the k-th loss has passed through k-1 torch-vs-JAX
+    # Adam updates, so tolerance grows mildly with the step index
+    for i, (ours, ref) in enumerate(zip(losses, ref_losses)):
+        np.testing.assert_allclose(
+            ours, ref, rtol=1e-4 * (i + 1), atol=1e-4 * (i + 1)
+        ), f"step {i}"
+
+    # final parameter parity: convert the trained torch state and compare deltas
+    ref_params, ref_stats = convert_torch_state_dict(final_state, cfg.model)
+    init_params, _ = convert_torch_state_dict(initial_state, cfg.model)
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(ref_params)
+    )
+    flat_init = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(init_params)
+    )
+    checked = 0
+    for path, ours in flat_ours:
+        key = jax.tree_util.keystr(path)
+        if "['k']['bias']" in key or key == "['final_head']['conv1']['bias']":
+            # Parameters whose true gradient is ~0 (measured ~1e-10 in the torch
+            # reference): the k-projection bias shifts every score in a softmax row
+            # by the same constant (softmax-invariant), and conv1's bias feeds
+            # straight into BatchNorm, whose batch-mean subtraction cancels it.
+            # Adam normalises that fp noise to full lr-sized steps in framework-
+            # specific directions — mathematically untestable, and with no effect on
+            # the function computed.
+            continue
+        ref = np.asarray(flat_ref[key])
+        init = np.asarray(flat_init[key])
+        ours = np.asarray(ours)
+        # Adam steps are ~lr-sized; deltas after k steps are O(k * lr). Elements
+        # whose gradient happens to be near zero are noise-normalised by Adam, so the
+        # elementwise bound is looser than the per-tensor delta-norm bound.
+        d_ours, d_ref = ours - init, ref - init
+        np.testing.assert_allclose(d_ours, d_ref, atol=8e-4, rtol=2e-3, err_msg=key)
+        np.testing.assert_allclose(
+            np.linalg.norm(d_ours), np.linalg.norm(d_ref), rtol=5e-3, err_msg=key
+        )
+        checked += 1
+    assert checked > 50
+
+    # every parameter must have actually moved (catches silently-zero grads)
+    moved = sum(
+        float(np.abs(np.asarray(v) - np.asarray(flat_init[jax.tree_util.keystr(p)])).max()) > 1e-6
+        for p, v in flat_ours
+    )
+    assert moved / checked > 0.95
+
+    # BatchNorm running stats follow the same dynamics (momentum 0.1, train mode)
+    ours_bn = jax.tree_util.tree_leaves_with_path(state.batch_stats)
+    ref_bn = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(ref_stats)
+    )
+    for path, v in ours_bn:
+        key = jax.tree_util.keystr(path)
+        # the running MEAN tracks conv1's zero-gradient (noise-driven, see above)
+        # bias, so it inherits that divergence; the running VAR is bias-invariant
+        atol = 0.05 if key.endswith("['mean']") else 1e-4
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref_bn[key]), atol=atol, rtol=1e-3, err_msg=key
+        )
+
+
+def test_lr_schedule_values_match_torch_over_k_steps():
+    """The per-update LR the optax schedule applies equals torch's get_last_lr after
+    the reference's fractional scheduler stepping, for the first 3 epochs of steps."""
+    import torch
+
+    from swin_unet_image_fusion_tpu.optim import cosine_warm_restarts_schedule
+
+    lr, eta_min, t0, ipe = 1e-2, 1e-5, 20, ITERS_PER_EPOCH
+    sched_fn = cosine_warm_restarts_schedule(lr, eta_min, t0, ipe)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, eta_min=eta_min
+    )
+    # torch: update n runs with the lr set by the previous scheduler.step call
+    torch_lrs = [opt.param_groups[0]["lr"]]
+    for epoch in range(1, 4):
+        for i in range(1, ipe + 1):
+            sched.step(epoch - 1 + (i - 1) / ipe)
+            torch_lrs.append(opt.param_groups[0]["lr"])
+    for count in range(3 * ipe):
+        np.testing.assert_allclose(
+            float(sched_fn(count)), torch_lrs[count], rtol=1e-6, err_msg=f"update {count}"
+        )
