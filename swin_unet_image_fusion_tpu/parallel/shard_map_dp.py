@@ -26,8 +26,16 @@ from ..losses import total_fusion_loss
 from ..models.unet import SwinFusionUNet
 
 
-def make_shard_map_train_step(cfg: Config, mesh: Mesh, axis: str = "data"):
-    """Returns step(state, ir, vis) -> (state, terms) with explicit psum collectives."""
+def make_shard_map_train_step(
+    cfg: Config, mesh: Mesh, axis: str = "data", return_grads: bool = False
+):
+    """Returns step(state, ir, vis) -> (state, terms) with explicit psum collectives.
+
+    With ``return_grads`` the step also returns the psum-averaged global gradients
+    (step -> (state, terms, grads)) — used by the DP-equality tests to compare
+    gradients directly at tight tolerance, where post-Adam parameters cannot be
+    (Adam normalises near-zero gradients to lr-sized noise).
+    """
     import dataclasses
 
     # cross-device BatchNorm statistics: give the BN layer the mesh axis name so its
@@ -62,6 +70,8 @@ def make_shard_map_train_step(cfg: Config, mesh: Mesh, axis: str = "data"):
 
         new_state = state.apply_gradients(grads=grads)
         new_state = new_state.replace(batch_stats=new_stats)
+        if return_grads:
+            return new_state, terms, grads
         return new_state, terms
 
     state_spec = P()  # replicated
@@ -71,7 +81,7 @@ def make_shard_map_train_step(cfg: Config, mesh: Mesh, axis: str = "data"):
         per_shard,
         mesh=mesh,
         in_specs=(state_spec, data_spec, data_spec),
-        out_specs=(state_spec, state_spec),
+        out_specs=(state_spec, state_spec, state_spec) if return_grads else (state_spec, state_spec),
         check_vma=False,
     )
     return jax.jit(step)
