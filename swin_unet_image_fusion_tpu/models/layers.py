@@ -386,6 +386,11 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "jnp"
     packed: bool = False  # lane-packed C-major kernel; input is (S, B, C, H, W)
+    # stage fusion: input/output are packed strips (S, B, nh, nPw, C, 128) for the
+    # (stage_hw, window, shift) geometry — the quartet packs once, repartitions
+    # between blocks, unpacks once (ops/pallas_pack.py::repartition_packed)
+    packed_io: bool = False
+    stage_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -430,12 +435,12 @@ class BasicBlock(nn.Module):
 
         Input/output (S, B, C, H, W); differentiable (custom VJP).
         Declares the identical param tree to the composed NHWC path."""
-        from ..ops.pallas_pack import pallas_packed_block
+        from ..ops.pallas_pack import pallas_packed_block, pallas_packed_block_strips
 
         if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:
             raise NotImplementedError("dropout is not supported in the packed block")
 
-        c = x.shape[2]
+        c = x.shape[4] if self.packed_io else x.shape[2]
         shape_probe = jnp.zeros((self.streams, 1, 1, 1, c), x.dtype)
         ln1_scale, ln1_bias = StackedLayerNorm(
             self.streams, features=c, name="norm1"
@@ -465,6 +470,29 @@ class BasicBlock(nn.Module):
         )(None, return_params=True)
 
         bias = gather_relative_position_bias(attn_params["table"], self.window_size)
+
+        if self.packed_io:
+            return pallas_packed_block_strips(
+                x.astype(self.dtype),
+                hw=self.stage_hw,
+                cross=self.cross,
+                shift=self.shift,
+                ln1_scale=ln1_scale,
+                ln1_bias=ln1_bias,
+                attn=attn_params,
+                bias=bias,
+                ln2_scale=ln2_scale,
+                ln2_bias=ln2_bias,
+                w1=mlp_params["w1"],
+                b1=mlp_params["b1"],
+                w2=mlp_params["w2"],
+                b2=mlp_params["b2"],
+                window=self.window_size,
+                num_heads=self.num_heads,
+                dims_per_head=self.dims_per_head,
+                activation=self.activation,
+                interpret=self.impl.endswith("interpret"),
+            )
 
         return pallas_packed_block(
             x.astype(self.dtype),
@@ -614,20 +642,52 @@ class SelfAndCrossBlockPair(nn.Module):
             # the whole 4-block stage runs C-major: one NHWC->NCHW transpose in, one
             # out — the padded-NHWC round-trips per block are what lane packing kills
             x = jnp.moveaxis(x, -1, 2)  # (S, B, C, H, W)
-        # self-attention pair: normal then shifted windows
-        x = BasicBlock(shift=False, cross=False, name="self_normal", **common)(
-            x, deterministic=deterministic
-        )
-        x = BasicBlock(shift=True, cross=False, name="self_shift", **common)(
-            x, deterministic=deterministic
-        )
-        # cross-attention pair: normal then shifted windows
-        x = BasicBlock(shift=False, cross=True, name="cross_normal", **common)(
-            x, deterministic=deterministic
-        )
-        x = BasicBlock(shift=True, cross=True, name="cross_shift", **common)(
-            x, deterministic=deterministic
-        )
+        if packed:
+            # stage fusion: pack once, run all 4 blocks on the packed strips with
+            # lane-matmul re-partitions between the normal/shifted geometries, and
+            # unpack once — instead of 4 transpose-chain pack/unpack round trips
+            # (the round-1 "~35% of the 512^2 profile" plateau, docs/ROADMAP.md)
+            from ..ops.pallas_pack import (
+                pack_windows_cmajor,
+                repartition_packed,
+                unpack_windows_cmajor,
+            )
+
+            hw = (x.shape[3], x.shape[4])
+            win = self.window_size
+            strip = dict(packed_io=True, stage_hw=hw, **common)
+            x, _ = pack_windows_cmajor(x.astype(self.dtype), win, shift=False)
+            x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, False, True)
+            x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, True, False)
+            x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, False, True)
+            x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
+                x, deterministic=deterministic
+            )
+            x = unpack_windows_cmajor(x, win, hw, shift=True)
+        else:
+            # self-attention pair: normal then shifted windows
+            x = BasicBlock(shift=False, cross=False, name="self_normal", **common)(
+                x, deterministic=deterministic
+            )
+            x = BasicBlock(shift=True, cross=False, name="self_shift", **common)(
+                x, deterministic=deterministic
+            )
+            # cross-attention pair: normal then shifted windows
+            x = BasicBlock(shift=False, cross=True, name="cross_normal", **common)(
+                x, deterministic=deterministic
+            )
+            x = BasicBlock(shift=True, cross=True, name="cross_shift", **common)(
+                x, deterministic=deterministic
+            )
         if packed and not self.cmajor_io:
             x = jnp.moveaxis(x, 2, -1)  # back to (S, B, H, W, C)
         return x

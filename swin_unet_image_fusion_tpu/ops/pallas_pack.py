@@ -681,6 +681,29 @@ def _packed_bias(bias: jnp.ndarray) -> jnp.ndarray:
 def pallas_packed_block(
     x: jnp.ndarray,
     *,
+    window: Tuple[int, int],
+    shift: bool,
+    **kwargs,
+) -> jnp.ndarray:
+    """One fused pre-norm Swin block on C-major stacked streams.
+
+    x: (S, B, C, H, W) with H, W divisible by the window. Differentiable (custom
+    VJP, flash-style recompute). Returns (S, B, C, H, W).
+    """
+    s, b, c, h, w = x.shape
+    # shifted windows are roll-free: a shifted-partition pack + pad-token masks is
+    # exactly equivalent to the reference's roll+wrap-mask (shift_pad_geometry).
+    xp, _ = pack_windows_cmajor(x, window, shift)
+    out = pallas_packed_block_strips(
+        xp, hw=(h, w), window=window, shift=shift, **kwargs
+    )
+    return unpack_windows_cmajor(out, window, (h, w), shift)
+
+
+def pallas_packed_block_strips(
+    xp: jnp.ndarray,
+    *,
+    hw: Tuple[int, int],
     cross: bool,
     shift: bool,
     ln1_scale: jnp.ndarray,  # (S, C)
@@ -699,22 +722,24 @@ def pallas_packed_block(
     activation: str = "elu",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One fused pre-norm Swin block on C-major stacked streams.
+    """The fused block directly on the packed strip layout.
 
-    x: (S, B, C, H, W) with H, W divisible by the window. Differentiable (custom
-    VJP, flash-style recompute). Returns (S, B, C, H, W).
+    xp: (S, B, nh, nPairsW, C, 128), already packed for the ``(hw, window, shift)``
+    geometry (:func:`pack_windows_cmajor` or :func:`repartition_packed`). Returns the
+    same layout. This is the stage-fusion entry point: a 4-block quartet packs once,
+    repartitions between the normal/shifted geometries with lane matmuls, and unpacks
+    once — instead of 4 pack/unpack transpose chains (the round-1 "35% of the 512^2
+    profile is pack/unpack" plateau, docs/ROADMAP.md).
+
+    The cross path's kv (the OTHER stream's features) is read from the same packed
+    strips through a stream-flipped BlockSpec — no jnp.flip, no second pack.
     """
-    s, b, c, h, w = x.shape
+    s, b, nh, np_w, c, _ = xp.shape
+    h, w = hw
     wh, ww = window
     d = dims_per_head
     dp = _dp_pad(d)
     hd = w1.shape[-1]
-
-    # shifted windows are roll-free: a shifted-partition pack + pad-token masks is
-    # exactly equivalent to the reference's roll+wrap-mask (shift_pad_geometry).
-    # The cross path's kv (the OTHER stream's features) is read from the same packed
-    # strips through a stream-flipped BlockSpec — no jnp.flip, no second pack.
-    xp, (nh, np_w, _) = pack_windows_cmajor(x, window, shift)
 
     r_t = pack_rows_per_tile(nh, np_w, c, hd, num_heads)
     n_tiles = nh // r_t
@@ -826,7 +851,7 @@ def pallas_packed_block(
             grid=(n, n_tiles),
             in_specs=in_specs,
             out_specs=feat,
-            out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), xp.dtype),
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(
@@ -907,7 +932,7 @@ def pallas_packed_block(
                 stream_spec((c, hd)), stream_spec((c, 1)),
             ),
             out_shape=(
-                *([jax.ShapeDtypeStruct((n * n_tiles_b, tile_b, c, LANES), x.dtype)]
+                *([jax.ShapeDtypeStruct((n * n_tiles_b, tile_b, c, LANES), xp.dtype)]
                   * n_fg),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
@@ -987,5 +1012,90 @@ def pallas_packed_block(
         jnp.swapaxes(w2, -1, -2), col(b2),
     )
 
-    out = out.reshape(s, b, nh, np_w, c, LANES)
-    return unpack_windows_cmajor(out, window, (h, w), shift)
+    return out.reshape(s, b, nh, np_w, c, LANES)
+
+
+# -------------------------------------------------------------- repartition (fused)
+
+
+@functools.lru_cache(maxsize=None)
+def _repartition_matrices(
+    window: Tuple[int, int], from_shift: bool, to_shift: bool
+) -> Tuple[Tuple[int, int, np.ndarray], ...]:
+    """Lane selector matrices for the packed normal<->shift window re-partition.
+
+    The composition ``pack(to_shift) . unpack(from_shift)`` is a fixed, position-
+    independent permutation of the packed layout: each real token of target window
+    pair (r, p) comes from source pair (r+dr, p+dj) with (dr, dj) in a 2x2
+    neighbourhood, at a lane determined only by the in-window offset deltas. Encoded
+    as (dr, dj, M) triples with M (128, 128) one-hot-per-column:
+
+        out[r, p] = sum_(dr,dj) in[r+dr, p+dj] @ M[dr,dj]
+
+    The matmul runs the re-partition on the MXU *in the packed layout* — no
+    transposes, no (8,128)-tile relayouts, unlike the unpack/pack reshape chains.
+    Columns for pad-token lanes are zero (target pad lanes don't matter: they are
+    masked as attention queries/keys and cropped at the final unpack — exactly like
+    the garbage a block's residual path leaves in source pad lanes).
+    """
+    wh, ww = window
+    top_f = wh - wh // 2 if from_shift else 0
+    left_f = ww - ww // 2 if from_shift else 0
+    top_t = wh - wh // 2 if to_shift else 0
+    left_t = ww - ww // 2 if to_shift else 0
+    dtop = top_f - top_t
+    dleft = left_f - left_t
+    mats: dict = {}
+    for slot_t in (0, 1):
+        for i_t in range(wh):
+            for j_t in range(ww):
+                lane_t = slot_t * TOK + i_t * ww + j_t
+                ii = i_t + dtop
+                dr, i_f = ii // wh, ii % wh
+                jj = j_t + dleft
+                coff, j_f = jj // ww, jj % ww
+                cc = slot_t + coff
+                dj, slot_f = cc // 2, cc % 2
+                lane_f = slot_f * TOK + i_f * ww + j_f
+                m = mats.setdefault((dr, dj), np.zeros((LANES, LANES), np.float32))
+                m[lane_f, lane_t] = 1.0
+    return tuple((dr, dj, m) for (dr, dj), m in sorted(mats.items()))
+
+
+def repartition_packed(
+    xp: jnp.ndarray,
+    window: Tuple[int, int],
+    hw: Tuple[int, int],
+    from_shift: bool,
+    to_shift: bool,
+) -> jnp.ndarray:
+    """Re-partition packed strips between the normal and shifted window geometries.
+
+    xp: (S, B, nh_f, nPw_f, C, 128) packed for ``from_shift``; returns
+    (S, B, nh_t, nPw_t, C, 128) packed for ``to_shift``. Equals
+    ``pack(to) . crop . unpack(from)`` on every real pixel (pad lanes may hold
+    garbage, which the target-geometry attention mask ignores). Differentiable by
+    construction (plain einsums).
+    """
+    s, b, nh_f, npw_f, c, _ = xp.shape
+    *_, nh_t, nw_t = shift_pad_geometry(hw, window, to_shift)
+    npw_t = nw_t // 2
+    terms = _repartition_matrices(window, from_shift, to_shift)
+
+    # zero halo so 2x2-neighbourhood reads at the borders contribute nothing
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    out = None
+    for dr, dj, m in terms:
+        src = jax.lax.slice(
+            xpad,
+            (0, 0, 1 + dr, 1 + dj, 0, 0),
+            (s, b, 1 + dr + nh_t, 1 + dj + npw_t, c, LANES),
+        )
+        contrib = jnp.einsum(
+            "sbrpcl,lm->sbrpcm",
+            src,
+            jnp.asarray(m, xp.dtype),
+            preferred_element_type=xp.dtype,
+        )
+        out = contrib if out is None else out + contrib
+    return out

@@ -56,6 +56,24 @@ def test_bucketed_fuser_crops_back(rng):
     assert out.shape == (1, 50, 45, 1)
 
 
+def test_bucketed_fuser_divergence_bound(rng):
+    """Pin the documented bucket-vs-exact NON-parity (Fuser docstring): the extra
+    reflect-pad context is not local — the 5-stage downsampling pyramid propagates
+    border context globally — so bucket=0 is the only parity mode. The divergence is
+    real (outputs differ) but statistically bounded on [0,1] outputs."""
+    cfg = Config(model=TINY_MODEL)
+    fuser = _fuser(cfg)
+    ir = rng.random((1, 50, 45, 1), dtype=np.float32)
+    vis = rng.random((1, 50, 45, 1), dtype=np.float32)
+    exact = fuser.fuse_y(ir, vis)
+    fuser.bucket = 32
+    bucketed = fuser.fuse_y(ir, vis)
+    assert bucketed.shape == exact.shape
+    diff = np.abs(bucketed - exact)
+    assert diff.max() > 1e-6  # genuinely not parity — the docstring must stay honest
+    assert diff.mean() < 0.05, diff.mean()  # but bounded in the mean on [0,1] outputs
+
+
 def test_run_test_end_to_end(tmp_path, rng):
     """The reference a017_test.py workload: walk test folder, fuse, save jpgs."""
     (tmp_path / "input" / "ir").mkdir(parents=True)

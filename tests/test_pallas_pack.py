@@ -257,3 +257,43 @@ def test_packed_model_random_odd_sizes(seed):
         np.asarray(out_pk), np.asarray(out_ref), rtol=5e-5, atol=5e-5,
         err_msg=f"size {h}x{w}",
     )
+
+
+def test_repartition_matches_unpack_then_pack():
+    """repartition_packed == pack(to) . crop . unpack(from) bit-exactly on every
+    real pixel, both directions, at even/odd/edge-heavy sizes (the stage-fusion
+    transform that replaces per-block pack/unpack transposes with lane matmuls)."""
+    from swin_unet_image_fusion_tpu.ops.pallas_pack import repartition_packed
+
+    rng = np.random.default_rng(0)
+    for hw in [(14, 28), (21, 21), (16, 9), (100, 90)]:
+        x = jnp.asarray(rng.random((2, 2, 5, *hw), dtype=np.float32))
+        for f, t in [(False, True), (True, False)]:
+            xp_f, _ = pack_windows_cmajor(x, (7, 7), f)
+            xp_t_direct, _ = pack_windows_cmajor(x, (7, 7), t)
+            xp_t = repartition_packed(xp_f, (7, 7), hw, f, t)
+            assert xp_t.shape == xp_t_direct.shape
+            a = unpack_windows_cmajor(xp_t, (7, 7), hw, t)
+            b = unpack_windows_cmajor(xp_t_direct, (7, 7), hw, t)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_repartition_is_linear_and_differentiable():
+    """The re-partition is a fixed linear map: its VJP round-trips gradients onto
+    exactly the real-pixel positions (sum preserved for an all-ones cotangent on
+    real pixels)."""
+    from swin_unet_image_fusion_tpu.ops.pallas_pack import repartition_packed
+
+    rng = np.random.default_rng(1)
+    hw = (14, 21)
+    x = jnp.asarray(rng.random((2, 1, 3, *hw), dtype=np.float32))
+    xp, _ = pack_windows_cmajor(x, (7, 7), False)
+
+    def f(xp_in):
+        out = repartition_packed(xp_in, (7, 7), hw, False, True)
+        real = unpack_windows_cmajor(out, (7, 7), hw, True)
+        return jnp.sum(real)
+
+    g = jax.grad(f)(xp)
+    g_real = unpack_windows_cmajor(g, (7, 7), hw, False)
+    np.testing.assert_allclose(np.asarray(g_real), 1.0)
