@@ -55,5 +55,38 @@ def main():
     print(f"trace written to {out_dir}")
 
 
+def trace_train_step(out_dir="/tmp/jax_trace_train", hw=224, batch=20,
+                     dtype="bfloat16", impl="pallas_pack", remat=False):
+    """Capture a trace of the full jitted training step (fwd+bwd+Adam)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    from swin_unet_image_fusion_tpu.config import Config, ModelConfig
+    from swin_unet_image_fusion_tpu.train import create_train_state, make_train_step
+
+    cfg = Config(model=ModelConfig(compute_dtype=dtype, attention_impl=impl, remat=remat))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), iters_per_epoch=100,
+                               sample_hw=(hw, hw))
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.random((batch, hw, hw, 1), np.float32))
+    vis = jnp.asarray(rng.random((batch, hw, hw, 1), np.float32))
+    step_fn = make_train_step(cfg, donate=False)
+    state, terms = step_fn(state, ir, vis)
+    float(terms["total_loss"])  # compile outside the trace
+    with jax.profiler.trace(out_dir):
+        for _ in range(3):
+            state, terms = step_fn(state, ir, vis)
+            float(terms["total_loss"])
+    print(f"train trace written to {out_dir}")
+
+
 if __name__ == "__main__":
     main()
