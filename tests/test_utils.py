@@ -23,8 +23,17 @@ def test_color_passthrough_when_not_tty():
 
 
 def test_process_local_shard_partitions():
+    """Hosts get EQUAL-length disjoint shards (trimmed to len//pc): a ragged shard
+    would make hosts run different numbers of collective steps and deadlock the
+    slice at epoch end (see process_local_shard docstring / ADVICE r1)."""
     idx = np.arange(10)
     shards = [process_local_shard(idx, process_index=i, process_count=3) for i in range(3)]
+    assert all(len(s) == 3 for s in shards)  # 10 // 3, identical on every host
     together = sorted(np.concatenate(shards).tolist())
-    assert together == list(range(10))
-    assert all(len(s) >= 3 for s in shards)
+    assert len(set(together)) == 9  # disjoint
+    assert set(together) <= set(range(10))
+
+    # evenly divisible: nothing is dropped
+    idx = np.arange(12)
+    shards = [process_local_shard(idx, process_index=i, process_count=3) for i in range(3)]
+    assert sorted(np.concatenate(shards).tolist()) == list(range(12))
