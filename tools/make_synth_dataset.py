@@ -44,8 +44,17 @@ def _smooth_noise(rng, h, w, scale, octaves=3):
     return out / m if m > 0 else out
 
 
-def make_pair(rng, h, w):
-    """One aligned (ir_gray_u8, vis_bgr_u8) scene pair."""
+def make_pair(rng, h, w, profile="textured"):
+    """One aligned (ir_gray_u8, vis_bgr_u8) scene pair.
+
+    profile="textured": dense VIS texture + IR column fixed-pattern noise —
+    adversarial for the fusion objective (the Sobel term's max-gradient target is
+    high everywhere, and the FPN literally teaches vertical stripes); training
+    collapses to a striped texture at ANY lr, in torch and JAX alike (documented
+    in docs/BENCHMARKS.md). profile="clean": texture confined to objects, smooth
+    background, no FPN — the objective then has a meaningful optimum and training
+    converges to real fusions. Both profiles are kept: the first pins equal
+    dynamics in a hostile regime, the second demonstrates trained quality."""
     # ---- shared scene geometry
     n_obj = rng.integers(4, 9)
     obj_mask = np.zeros((h, w), np.float32)
@@ -72,7 +81,10 @@ def make_pair(rng, h, w):
 
     # ---- VIS: albedo + texture + directional shading, weak contrast on thermal info
     texture = _smooth_noise(rng, h, w, 6, octaves=2) - 0.5
-    tex_amp = 0.10 + 0.15 * obj_mask                            # objects more textured
+    if profile == "clean":
+        tex_amp = 0.01 + 0.08 * obj_mask                        # texture only on objects
+    else:
+        tex_amp = 0.10 + 0.15 * obj_mask                        # objects more textured
     gy, gx = np.gradient(cv2.GaussianBlur(albedo, (0, 0), 3))
     shading = np.clip(0.5 + 40 * (gx * 0.7 + gy * 0.3), 0.2, 0.8)
     vis_y = np.clip(albedo * shading * 1.6 + tex_amp * texture, 0, 1) ** (1 / 1.6)
@@ -92,8 +104,11 @@ def make_pair(rng, h, w):
     yy = np.linspace(-1, 1, h)[:, None]
     xx = np.linspace(-1, 1, w)[None, :]
     vignette = 1.0 - 0.12 * (xx**2 + yy**2)
-    fixed_pattern = 0.02 * (rng.random((1, w), dtype=np.float32) - 0.5)  # column FPN
-    ir = np.clip(ir * vignette + fixed_pattern + 0.01 * rng.standard_normal((h, w)), 0, 1)
+    if profile == "clean":
+        ir = np.clip(ir * vignette + 0.004 * rng.standard_normal((h, w)), 0, 1)
+    else:
+        fixed_pattern = 0.02 * (rng.random((1, w), dtype=np.float32) - 0.5)  # column FPN
+        ir = np.clip(ir * vignette + fixed_pattern + 0.01 * rng.standard_normal((h, w)), 0, 1)
 
     return (ir * 255).astype(np.uint8), (vis * 255).astype(np.uint8)
 
@@ -104,13 +119,14 @@ def main():
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", choices=["textured", "clean"], default="textured")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(os.path.join(args.out_root, "ir"), exist_ok=True)
     os.makedirs(os.path.join(args.out_root, "vis"), exist_ok=True)
     for i in range(args.n):
-        ir, vis = make_pair(rng, *args.hw)
+        ir, vis = make_pair(rng, *args.hw, profile=args.profile)
         cv2.imwrite(os.path.join(args.out_root, "ir", f"{i:04d}.png"), ir)
         cv2.imwrite(os.path.join(args.out_root, "vis", f"{i:04d}.png"), vis)
     print(f"wrote {args.n} pairs to {args.out_root}")
