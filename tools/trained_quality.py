@@ -118,6 +118,7 @@ def run_jax(args):
     from swin_unet_image_fusion_tpu.train import start_main
 
     cfg = Config(
+        seed=args.seed,
         model=ModelConfig(
             compute_dtype=args.dtype,
             attention_impl="jnp" if args.cpu else "auto",
