@@ -23,8 +23,9 @@ import numpy as np
 def main():
     import cv2
 
-    if "--checkpoint" not in sys.argv:
-        # pure scoring needs no accelerator; keep jax off the TPU tunnel
+    if "--checkpoint" not in sys.argv or "--cpu" in sys.argv:
+        # pure scoring needs no accelerator (and --cpu fuses on host too, which
+        # keeps scoring off the TPU tunnel while a training run owns it)
         import jax
 
         try:
@@ -40,6 +41,8 @@ def main():
     input_folder = args[0]
     checkpoint = None
     output_folder = None
+    if "--cpu" in args:
+        args.remove("--cpu")
     if "--checkpoint" in args:
         checkpoint = args[args.index("--checkpoint") + 1]
     elif len(args) > 1:

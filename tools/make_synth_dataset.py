@@ -56,19 +56,21 @@ def make_pair(rng, h, w, profile="textured"):
     converges to real fusions. Both profiles are kept: the first pins equal
     dynamics in a hostile regime, the second demonstrates trained quality."""
     # ---- shared scene geometry
-    n_obj = rng.integers(4, 9)
+    rich = profile == "rich"  # rich: dense multi-scale structure (small objects too)
+    n_obj = rng.integers(18, 32) if rich else rng.integers(4, 9)
     obj_mask = np.zeros((h, w), np.float32)
-    albedo = 0.35 + 0.4 * _smooth_noise(rng, h, w, 64)          # terrain albedo
-    temp = 0.25 + 0.25 * _smooth_noise(rng, h, w, 96)           # terrain temperature
+    albedo = 0.35 + 0.4 * _smooth_noise(rng, h, w, 64 if not rich else 32)
+    temp = 0.25 + 0.25 * _smooth_noise(rng, h, w, 96 if not rich else 48)
+    lo = 3 if rich else 8
     for _ in range(n_obj):
         mask = np.zeros((h, w), np.float32)
         cx, cy = rng.integers(0, w), rng.integers(0, h)
         if rng.random() < 0.5:
-            ax, ay = rng.integers(8, w // 4), rng.integers(8, h // 4)
+            ax, ay = rng.integers(lo, w // 4), rng.integers(lo, h // 4)
             ang = rng.uniform(0, 180)
             cv2.ellipse(mask, (cx, cy), (int(ax), int(ay)), ang, 0, 360, 1.0, -1)
         else:
-            ww_, hh = rng.integers(10, w // 3), rng.integers(10, h // 3)
+            ww_, hh = rng.integers(lo + 2, w // 3), rng.integers(lo + 2, h // 3)
             ang = rng.uniform(0, 180)
             box = cv2.boxPoints(((float(cx), float(cy)), (float(ww_), float(hh)), ang))
             cv2.fillPoly(mask, [box.astype(np.int32)], 1.0)
@@ -81,7 +83,7 @@ def make_pair(rng, h, w, profile="textured"):
 
     # ---- VIS: albedo + texture + directional shading, weak contrast on thermal info
     texture = _smooth_noise(rng, h, w, 6, octaves=2) - 0.5
-    if profile == "clean":
+    if profile in ("clean", "rich"):
         tex_amp = 0.01 + 0.08 * obj_mask                        # texture only on objects
     else:
         tex_amp = 0.10 + 0.15 * obj_mask                        # objects more textured
@@ -104,7 +106,7 @@ def make_pair(rng, h, w, profile="textured"):
     yy = np.linspace(-1, 1, h)[:, None]
     xx = np.linspace(-1, 1, w)[None, :]
     vignette = 1.0 - 0.12 * (xx**2 + yy**2)
-    if profile == "clean":
+    if profile in ("clean", "rich"):
         ir = np.clip(ir * vignette + 0.004 * rng.standard_normal((h, w)), 0, 1)
     else:
         fixed_pattern = 0.02 * (rng.random((1, w), dtype=np.float32) - 0.5)  # column FPN
@@ -119,7 +121,7 @@ def main():
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 320))
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--profile", choices=["textured", "clean"], default="textured")
+    ap.add_argument("--profile", choices=["textured", "clean", "rich"], default="textured")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
