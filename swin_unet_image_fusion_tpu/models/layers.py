@@ -197,7 +197,7 @@ class DualWindowAttention(nn.Module):
             return self._declare_params(c)
 
         if self.impl.startswith("pallas"):
-            return self._pallas_forward(x)
+            return self._pallas_forward(x, deterministic=deterministic)
 
         if self.shift:
             x = cyclic_shift(x, self.window_size, reverse=False)
@@ -289,12 +289,11 @@ class DualWindowAttention(nn.Module):
             wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv, wp=wp, bp=bp, table=table
         )
 
-    def _pallas_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _pallas_forward(
+        self, x: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
         """Fused-kernel path (ops/pallas_attention.py), differentiable (custom VJP)."""
         from ..ops.pallas_attention import pallas_window_attention
-
-        if self.attention_drop_ratio or self.proj_drop_ratio:
-            raise NotImplementedError("dropout is not supported in the pallas path")
 
         s, b, h, w, c = x.shape
 
@@ -303,9 +302,21 @@ class DualWindowAttention(nn.Module):
         wv, bv, wp, bp = p["wv"], p["bv"], p["wp"], p["bp"]
         bias = gather_relative_position_bias(p["table"], self.window_size)  # (S, T, T)
 
+        # attention-weights dropout runs in-kernel (hash masks, ops/hash_dropout.py);
+        # proj dropout applies to the kernel output (the kernel ends at proj+bias,
+        # reference a001_WindowAttention.py:58-66)
+        drop_kwargs = {}
+        if self.attention_drop_ratio and not deterministic:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 1 << 24, dtype=jnp.int32
+            ).astype(jnp.float32)
+            drop_kwargs = dict(
+                attn_drop_rate=float(self.attention_drop_ratio), drop_seed=seed
+            )
+
         # shift and the cross qkv swap are handled inside the kernel (roll-free
         # shifted partition; kv via a stream-flipped BlockSpec on the same strips)
-        return pallas_window_attention(
+        out = pallas_window_attention(
             x.astype(self.dtype),
             wq, bq, wk, bk, wv, bv, wp, bp, bias,
             window=self.window_size,
@@ -314,7 +325,9 @@ class DualWindowAttention(nn.Module):
             shift=self.shift,
             cross=self.cross,
             interpret=self.impl == "pallas_interpret",
+            **drop_kwargs,
         )
+        return nn.Dropout(self.proj_drop_ratio)(out, deterministic=deterministic)
 
 
 class DualMLP(nn.Module):
@@ -395,7 +408,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         if self.packed:
-            return self._packed_block_forward(x)
+            return self._packed_block_forward(x, deterministic=deterministic)
         if self.impl.startswith("pallas_block"):
             return self._fused_block_forward(x)
         shortcut = x
@@ -430,15 +443,28 @@ class BasicBlock(nn.Module):
         )(x, deterministic=deterministic)
         return shortcut + x
 
-    def _packed_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _packed_block_forward(
+        self, x: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
         """Lane-packed C-major fused block (ops/pallas_pack.py) for small-C stages.
 
         Input/output (S, B, C, H, W); differentiable (custom VJP).
         Declares the identical param tree to the composed NHWC path."""
         from ..ops.pallas_pack import pallas_packed_block, pallas_packed_block_strips
 
-        if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:
-            raise NotImplementedError("dropout is not supported in the packed block")
+        # in-kernel hash dropout (ops/hash_dropout.py): one seed per block instance
+        # per step from the flax 'dropout' rng, masks derived per (site, position)
+        rates = (
+            float(self.attention_drop_ratio),
+            float(self.proj_drop_ratio),
+            float(self.mlp_drop_ratio),
+        )
+        drop_kwargs = {}
+        if any(rates) and not deterministic:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 1 << 24, dtype=jnp.int32
+            ).astype(jnp.float32)
+            drop_kwargs = dict(drop_rates=rates, drop_seed=seed)
 
         c = x.shape[4] if self.packed_io else x.shape[2]
         shape_probe = jnp.zeros((self.streams, 1, 1, 1, c), x.dtype)
@@ -492,6 +518,7 @@ class BasicBlock(nn.Module):
                 dims_per_head=self.dims_per_head,
                 activation=self.activation,
                 interpret=self.impl.endswith("interpret"),
+                **drop_kwargs,
             )
 
         return pallas_packed_block(
@@ -513,6 +540,7 @@ class BasicBlock(nn.Module):
             dims_per_head=self.dims_per_head,
             activation=self.activation,
             interpret=self.impl.endswith("interpret"),
+            **drop_kwargs,
         )
 
     def _fused_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:

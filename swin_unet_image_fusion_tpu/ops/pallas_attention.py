@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import hash_dropout as hdrop
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 
 T_PAD_MULTIPLE = 8  # sublane alignment
@@ -115,13 +116,19 @@ def _shift_edge_mask(hw: Tuple[int, int], window: Tuple[int, int]) -> np.ndarray
     return out
 
 
-def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 << 20) -> int:
+def rows_per_tile(n_rows: int, n_w: int, tp: int, c: int, budget_bytes: int = 2 << 20,
+                  attn_drop: bool = False) -> int:
     """Window-rows per grid step: largest divisor of n_rows whose strip fits the VMEM
     budget. Deep stages have tiny rows (n_w as small as 2) — batching rows per step
     raises MXU occupancy and cuts grid overhead; stage 0 stays at 1 row."""
+    per_window = tp * c * 4
+    if attn_drop:
+        # per-head keep-mask + hash intermediate (Mosaic does not reuse the
+        # unrolled head loop's buffers)
+        per_window += 2 * 8 * tp * tp * 4
     best = 1
     for r in range(1, n_rows + 1):
-        if n_rows % r == 0 and r * n_w * tp * c * 4 <= budget_bytes:
+        if n_rows % r == 0 and r * n_w * per_window <= budget_bytes:
             best = r
     return best
 
@@ -174,6 +181,8 @@ def _attention_fwd_kernel(
     num_heads: int,
     dims_per_head: int,
     t_pad: int,
+    attn_drop_rate: float = 0.0,
+    seed_ref=None,
 ):
     _, tile, tp, c = x_ref.shape
     scale = dims_per_head**-0.5
@@ -181,6 +190,22 @@ def _attention_fwd_kernel(
 
     xw = x_ref[0].reshape(tile * tp, c)     # merge leading dim (tp % 8 == 0: free)
     kvw = kv_ref[0].reshape(tile * tp, c)
+
+    if seed_ref is not None and attn_drop_rate > 0:
+        # hash dropout on the softmax weights (ops/hash_dropout.py): masks keyed
+        # by (seed, global window index, head, q, k) — tiling-independent
+        seed = seed_ref[0].astype(jnp.int32)
+        win0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def head_keep(h):
+            return hdrop.tile_keep_mask(
+                seed, hdrop.SITE_ATTN, win0, tile, (tp, tp), attn_drop_rate,
+                intra_base=h * tp * tp,
+            )
+    else:
+        head_keep = None
 
     bias = bias_ref[0].astype(jnp.float32)  # (TP, TP)
     mask = mask_ref[...]                    # (TILE or 1, TP, TP)
@@ -209,6 +234,8 @@ def _attention_fwd_kernel(
         s = bmm(q, k, ((2,), (2,))) * scale + bias[None]      # (TILE, TP, TP)
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
         p = jax.nn.softmax(s, axis=-1)
+        if head_keep is not None:
+            p = hdrop.apply_mask(p, head_keep(h), attn_drop_rate)
 
         av = bmm(p.astype(dtype), v.astype(dtype), ((2,), (1,)))  # (TILE, TP, d)
         acc = acc + mm(
@@ -250,10 +277,28 @@ def _attention_bwd_body(
     dims_per_head: int,
     t_pad: int,
     batch: int,
+    attn_drop_rate: float = 0.0,
+    seed_ref=None,
 ):
     """Recompute the strip's forward per head, then accumulate all grads."""
     _, tile, tp, c = x_ref.shape
     scale = dims_per_head**-0.5
+
+    if seed_ref is not None and attn_drop_rate > 0:
+        # identical masks to the forward under this (finer) grid: global window
+        # index is tiling-invariant
+        seed = seed_ref[0].astype(jnp.int32)
+        win0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def head_keep(hh):
+            return hdrop.tile_keep_mask(
+                seed, hdrop.SITE_ATTN, win0, tile, (tp, tp), attn_drop_rate,
+                intra_base=hh * tp * tp,
+            )
+    else:
+        head_keep = None
 
     xw = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
     kvw = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
@@ -315,7 +360,13 @@ def _attention_bwd_body(
         s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
         p = jax.nn.softmax(s, axis=-1)  # (TILE, TP, TP)
-        av = bmm(p, v, ((2,), (1,)))  # (TILE, TP, d)
+        if head_keep is not None:
+            keep = head_keep(h)
+            p_use = hdrop.apply_mask(p, keep, attn_drop_rate)
+        else:
+            keep = None
+            p_use = p
+        av = bmm(p_use, v, ((2,), (1,)))  # (TILE, TP, d)
 
         # backward for this head
         g_av2 = mm(g, wp.T)  # (tile*tp, d)
@@ -323,8 +374,11 @@ def _attention_bwd_body(
 
         g_av = g_av2.reshape(tile, tp, dims_per_head)
         g_p = bmm(g_av, v, ((2,), (2,)))      # (TILE, TP, TP)
-        g_v = bmm(p, g_av, ((1,), (1,)))      # (TILE, TP, d)
+        g_v = bmm(p_use, g_av, ((1,), (1,)))  # (TILE, TP, d)
 
+        if keep is not None:
+            # AV consumed p_use = where(keep, p/q, 0): scale the softmax cotangent
+            g_p = hdrop.apply_mask(g_p, keep, attn_drop_rate)
         tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
         g_s = p * (g_p - tmp)                 # zero at masked/pad entries (p==0)
 
@@ -359,6 +413,10 @@ def _attention_bwd_body(
 
 def _attention_bwd_kernel(*refs, **kw):
     """cross variant: distinct x / kv inputs and separate gx / gkv outputs."""
+    if kw.get("attn_drop_rate", 0.0) > 0:
+        # seed is the 14th input (appended after g); outputs follow it
+        kw = dict(kw, seed_ref=refs[13])
+        refs = refs[:13] + refs[14:]
     (x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
      gx, gkv, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias) = refs
     _attention_bwd_body(x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
@@ -367,15 +425,36 @@ def _attention_bwd_kernel(*refs, **kw):
 
 def _attention_bwd_kernel_self(*refs, **kw):
     """self variant: one input strip, kv grads folded into gx (one DMA saved each way)."""
+    if kw.get("attn_drop_rate", 0.0) > 0:
+        # seed is the 13th input (appended after g); outputs follow it
+        kw = dict(kw, seed_ref=refs[12])
+        refs = refs[:12] + refs[13:]
     (x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
      gx, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias) = refs
     _attention_bwd_body(x_ref, x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, g,
                         gx, None, gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias, **kw)
 
 
+def _attention_fwd_kernel_cross(*refs, **kw):
+    (x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, *rest) = refs
+    if kw.get("attn_drop_rate", 0.0) > 0:
+        seed_ref, out = rest
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        (out,) = rest
+    _attention_fwd_kernel(x_ref, kv_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask,
+                          out, **kw)
+
+
 def _attention_fwd_kernel_self(*refs, **kw):
-    (x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, out) = refs
-    _attention_fwd_kernel(x_ref, x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, out, **kw)
+    (x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask, *rest) = refs
+    if kw.get("attn_drop_rate", 0.0) > 0:
+        seed_ref, out = rest
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        (out,) = rest
+    _attention_fwd_kernel(x_ref, x_ref, wq, bq, wk, bk, wv, bv, wp, bp, bias, mask,
+                          out, **kw)
 
 
 @functools.lru_cache(maxsize=None)
@@ -416,6 +495,8 @@ def pallas_window_attention(
     shift: bool = False,
     cross: bool = False,
     interpret: bool = False,
+    attn_drop_rate: float = 0.0,
+    drop_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused window attention over stacked streams.
 
@@ -444,7 +525,18 @@ def pallas_window_attention(
     n = s * b
     inner = num_heads * dims_per_head
     d = dims_per_head
-    r_t = rows_per_tile(n_rows, n_w, tp, c)
+
+    attn_drop_rate = float(attn_drop_rate)
+    has_drop = attn_drop_rate > 0
+    if has_drop:
+        if drop_seed is None:
+            raise ValueError("attn_drop_rate > 0 requires a drop_seed")
+        # f32 seed (< 2^24, exact): custom_vjp then returns an ordinary zero
+        # cotangent for it. Proj dropout is applied by the caller on the kernel
+        # output (the kernel ends at proj+bias), matching a001:62-66.
+        seed_arr = jnp.asarray(drop_seed, jnp.float32).reshape(1)
+
+    r_t = rows_per_tile(n_rows, n_w, tp, c, attn_drop=has_drop)
     n_tiles = n_rows // r_t
     wt = r_t * n_w  # windows per grid step
 
@@ -488,7 +580,11 @@ def pallas_window_attention(
             (wt, tp, tp), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
         )
 
-    static = dict(num_heads=num_heads, dims_per_head=d, t_pad=tp)
+    static = dict(
+        num_heads=num_heads, dims_per_head=d, t_pad=tp,
+        attn_drop_rate=attn_drop_rate,
+    )
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     weight_specs = [
         stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
         stream_spec((num_heads, c, d)), stream_spec((num_heads, 1, d)),
@@ -545,7 +641,7 @@ def pallas_window_attention(
             split_heads_wp(wp), bp[:, None, :],
         )
 
-    def _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
+    def _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p, *extra):
         # the mask constant is materialised inside each traced closure: a shared
         # jnp constant would leak as a tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
@@ -554,20 +650,23 @@ def pallas_window_attention(
         # cross kv = the same strips read through the stream-flipped BlockSpec
         fw = [xw] if same_kv else [xw, xw]
         in_feat_specs = [feat] if same_kv else [feat, feat_other]
-        kernel = _attention_fwd_kernel_self if same_kv else _attention_fwd_kernel
+        kernel = _attention_fwd_kernel_self if same_kv else _attention_fwd_kernel_cross
         out = pl.pallas_call(
             functools.partial(kernel, **static),
             grid=(n, n_tiles),
-            in_specs=[*in_feat_specs, *weight_specs, mask_spec],
+            in_specs=(
+                [*in_feat_specs, *weight_specs, mask_spec, seed_spec]
+                if has_drop else [*in_feat_specs, *weight_specs, mask_spec]
+            ),
             out_specs=feat,
             out_shape=feat_shape,
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
-        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr)
+        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, *extra)
         return from_padded_windows(out.reshape(s, b * n_rows, n_w, tp, c))
 
     def _backward(res, g):
-        feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p = res
+        feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p, *extra = res
         mask_arr = jnp.asarray(mask_np)
         # finer tiles than the forward: the bwd kernel's live set is ~O(heads)
         # score-sized tensors per window (see bwd_split_factor)
@@ -595,12 +694,17 @@ def pallas_window_attention(
         outs = pl.pallas_call(
             functools.partial(kernel, batch=b, **static),
             grid=(n, n_tiles_b),
-            in_specs=[*in_feat_specs, *weight_specs, mask_spec_b, feat_b],
+            in_specs=(
+                [*in_feat_specs, *weight_specs, mask_spec_b, feat_b, seed_spec]
+                if has_drop
+                else [*in_feat_specs, *weight_specs, mask_spec_b, feat_b]
+            ),
             out_specs=(*out_feat_specs, *grad_specs),
             out_shape=(*([feat_shape_b] * n_feat_grads), *grad_shapes),
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
-        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, gw)
+        )(*fw, *split_all(wq, bq, wk, bk, wv, bv, wp, bp), bias_p, mask_arr, gw,
+          *extra)
         feat_grads = outs[:n_feat_grads]
         gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp, gbias = outs[n_feat_grads:]
 
@@ -608,8 +712,8 @@ def pallas_window_attention(
             return a.transpose(0, 2, 1, 3).reshape(s, c, inner)
 
         g_x = feat_grads[0]
-        for extra in feat_grads[1:]:
-            g_x = g_x + extra  # q-path + kv-path contributions to the same array
+        for fg in feat_grads[1:]:
+            g_x = g_x + fg  # q-path + kv-path contributions to the same array
         g_x = from_padded_windows(g_x.reshape(s, b * n_rows, n_w, tp, c))
         return (
             (g_x,),
@@ -619,17 +723,21 @@ def pallas_window_attention(
             gwp.reshape(s, inner, c).astype(wp.dtype),
             gbp[:, 0].astype(bp.dtype),
             gbias.astype(bias_p.dtype),
+            *(jnp.zeros_like(e) for e in extra),  # seed: no gradient
         )
 
     @jax.custom_vjp
-    def core(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p):
-        return _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    def core(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p, *extra):
+        return _forward(feats, wq, bq, wk, bk, wv, bv, wp, bp, bias_p, *extra)
 
     def core_fwd(*args):
         return _forward(*args), args
 
     core.defvjp(core_fwd, _backward)
-    out = core((x,), wq, bq, wk, bk, wv, bv, wp, bp, bias_p)
+    out = core(
+        (x,), wq, bq, wk, bk, wv, bv, wp, bp, bias_p,
+        *((seed_arr,) if has_drop else ()),
+    )
     if (h, w) != (orig_h, orig_w):
         out = out[:, :, top : top + orig_h, left : left + orig_w, :]
     return out

@@ -47,6 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import hash_dropout as hdrop
 from .pallas_attention import bwd_split_factor, tpu_compiler_params
 from .window import MASK_FILL_VALUE
 
@@ -68,7 +69,8 @@ def _dp_pad(d: int) -> int:
 
 def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
                        num_heads: int = 8,
-                       budget_bytes: Optional[int] = None) -> int:
+                       budget_bytes: Optional[int] = None,
+                       attn_drop: bool = False) -> int:
     """Window-pair rows per grid step under a VMEM live-set budget.
 
     With head-batched attention (FUSED_HEAD_MATMULS) the dominant per-pair residents
@@ -83,6 +85,9 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
         per_pair += 2 * LANES * lanes_all * 4          # s_all + p_cat
         per_pair += 2 * (num_heads * 8) * lanes_all * 4  # k_bd + v_bd (dp>=8)
         per_pair += LANES * lanes_all                  # tiled int8 mask
+        if attn_drop:
+            # hash intermediate (i32) + dropped weights, both score-sized
+            per_pair += 2 * LANES * lanes_all * 4
     best = 1
     for r in range(1, n_rows + 1):
         if n_rows % r == 0 and r * n_pairs_w * per_pair <= budget_bytes:
@@ -94,7 +99,8 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
 
 
 def _headbatched_attention(
-    q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=False
+    q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=False,
+    drop=None,
 ):
     """All-head window attention as two large MXU matmuls via block-diagonal operands.
 
@@ -139,15 +145,19 @@ def _headbatched_attention(
         ],
         axis=2,
     )                                                       # (T, LANES, H*LANES)
+    # attention-weights dropout (reference a001_WindowAttention.py:58-61): the
+    # softmax output feeds AV through the hash mask; residuals keep the pre-drop
+    # p_cat so the backward recomputes the identical mask from (seed, position)
+    p_use = hdrop.apply_mask(p_cat, *drop) if drop is not None else p_cat
     v_bd = jnp.where(bd, jnp.concatenate([v_all] * num_heads, axis=2), 0.0)
-    av_all = bmm(v_bd, p_cat, ((2,), (2,)))                 # (T, IP, LANES)
+    av_all = bmm(v_bd, p_use, ((2,), (2,)))                 # (T, IP, LANES)
     if return_res:
         return av_all, (p_cat, k_bd, v_bd, bd)
     return av_all
 
 
 def _headbatched_attention_grads(
-    q_all, g_av_all, res, num_heads, dp, scale
+    q_all, g_av_all, res, num_heads, dp, scale, drop=None
 ):
     """Gradients of the head-batched attention from the shared recompute residuals.
 
@@ -174,6 +184,13 @@ def _headbatched_attention_grads(
 
     # g_p_h[t,i,j] = sum_d g_av[t,hd,i] v[t,hd,j]  (contraction IP)
     g_p_cat = bmm(g_av_all, v_bd, ((1,), (1,)))             # (T, LANES, H*LANES)
+    if drop is not None:
+        # AV consumed p_drop = where(keep, p/q, 0): chain rule scales the softmax
+        # cotangent by the same mask, and g_v must use the dropped weights
+        p_drop = hdrop.apply_mask(p_cat, *drop)
+        g_p_cat = hdrop.apply_mask(g_p_cat, *drop)
+    else:
+        p_drop = p_cat
     # softmax backward per head block (0 at masked positions by construction)
     g_s_heads = []
     for h in range(num_heads):
@@ -188,7 +205,7 @@ def _headbatched_attention_grads(
         g_bias = g_bias + jnp.sum(g_s, axis=0)
     # g_v_h[t,hd,j] = sum_i g_av[t,hd,i] p_h[t,i,j]  (contraction LANES, then the
     # diagonal head block of the (IP, H*LANES) result)
-    g_v_all = diag_blocks(bmm(g_av_all, p_cat, ((2,), (1,))))
+    g_v_all = diag_blocks(bmm(g_av_all, p_drop, ((2,), (1,))))
     # g_q[t,hd,i] = scale * sum_j k[t,hd,j] g_s_h[t,i,j]  (contraction H*LANES)
     g_q_all = bmm(k_bd, g_s_cat, ((2,), (2,))) * scale
     # g_k[t,hd,j] = scale * sum_i q[t,hd,i] g_s_h[t,i,j]
@@ -225,10 +242,27 @@ def _packed_block_fwd_body(
     dp: int,
     scale: float,
     activation: str,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    seed_ref=None,  # (1,) SMEM f32 hash-dropout seed (only when any rate > 0)
 ):
     _, tile, c, lanes = x_ref.shape
     x = x_ref[0].astype(jnp.float32)          # (TILE, C, 128)
     kv = kv_ref[0].astype(jnp.float32)
+
+    # hash-dropout (ops/hash_dropout.py): masks are a pure function of
+    # (seed, site, global pair index, intra-pair offset), so the re-tiled backward
+    # grid recomputes bit-identical masks
+    rate_a, rate_p, rate_m = drop_rates
+    if seed_ref is not None:
+        seed = seed_ref[0].astype(jnp.int32)
+        pair0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def site_keep(site, inner_shape, rate):
+            return hdrop.tile_keep_mask(seed, site, pair0, tile, inner_shape, rate)
+    else:
+        site_keep = None
 
     def layer_norm(a, s_ref, b_ref):
         mu = jnp.mean(a, axis=1, keepdims=True)
@@ -260,8 +294,12 @@ def _packed_block_fwd_body(
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
     if FUSED_HEAD_MATMULS:
+        drop_a = (
+            (site_keep(hdrop.SITE_ATTN, (LANES, num_heads * LANES), rate_a), rate_a)
+            if seed_ref is not None and rate_a > 0 else None
+        )
         av_all = _headbatched_attention(
-            q_all, k_all, v_all, bias, mask, num_heads, dp, scale
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, drop=drop_a
         )
     else:
         av_heads = []
@@ -277,7 +315,15 @@ def _packed_block_fwd_body(
         av_all = jnp.concatenate(av_heads, axis=1)         # (TILE, heads*dp, 128)
 
     acc = bmm(bcast(wp_ref), av_all, ((2,), (1,)))         # (TILE, C, 128)
-    y = x + acc + bp_ref[0].astype(jnp.float32)
+    if seed_ref is not None and rate_p > 0:
+        # proj dropout applies to proj(x)+bias before the residual add
+        # (a001_WindowAttention.py:62-66)
+        proj_out = acc + bp_ref[0].astype(jnp.float32)
+        y = x + hdrop.apply_mask(
+            proj_out, site_keep(hdrop.SITE_PROJ, (c, LANES), rate_p), rate_p
+        )
+    else:
+        y = x + acc + bp_ref[0].astype(jnp.float32)
 
     ln_y = layer_norm(y, ln2s_ref, ln2b_ref)
     hdn = bmm(bcast(w1_ref), ln_y, ((2,), (1,))) + b1_ref[0].astype(jnp.float32)
@@ -290,22 +336,41 @@ def _packed_block_fwd_body(
         hdn = jax.nn.gelu(hdn)
     else:
         raise ValueError(activation)
+    if seed_ref is not None and rate_m > 0:
+        hd_dim = w1_ref.shape[1]
+        hdn = hdrop.apply_mask(
+            hdn, site_keep(hdrop.SITE_MLP_HIDDEN, (hd_dim, LANES), rate_m), rate_m
+        )
     m = bmm(bcast(w2_ref), hdn, ((2,), (1,))) + b2_ref[0].astype(jnp.float32)
+    if seed_ref is not None and rate_m > 0:
+        m = hdrop.apply_mask(
+            m, site_keep(hdrop.SITE_MLP_OUT, (c, LANES), rate_m), rate_m
+        )
 
     out_ref[...] = (y + m)[None].astype(out_ref.dtype)
 
 
 def _packed_fwd_kernel(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        refs, seed_ref, out = refs[:-2], refs[-2], refs[-1]
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        refs, out = refs[:-1], refs[-1]
     (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
-     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _packed_block_fwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk,
                            wv, bv, wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2,
                            out, **kw)
 
 
 def _packed_fwd_kernel_self(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        refs, seed_ref, out = refs[:-2], refs[-2], refs[-1]
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        refs, out = refs[:-1], refs[-1]
     (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
-     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _packed_block_fwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk,
                            wv, bv, wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2,
                            out, **kw)
@@ -366,6 +431,8 @@ def _packed_block_bwd_body(
     scale: float,
     activation: str,
     batch: int,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    seed_ref=None,
 ):
     """Recompute the packed block in VMEM, then backprop everything (C-major)."""
     _, tile, c, lanes = x_ref.shape
@@ -373,6 +440,20 @@ def _packed_block_bwd_body(
     x = x_ref[0].astype(jnp.float32)
     kv = kv_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
+
+    # identical hash-dropout masks to the forward: pair0 uses THIS grid's (finer)
+    # tiling but indexes the same global pair sequence, so every mask matches
+    rate_a, rate_p, rate_m = drop_rates
+    if seed_ref is not None:
+        seed = seed_ref[0].astype(jnp.int32)
+        pair0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def site_keep(site, inner_shape, rate):
+            return hdrop.tile_keep_mask(seed, site, pair0, tile, inner_shape, rate)
+    else:
+        site_keep = None
 
     s1 = ln1s_ref[0].astype(jnp.float32)
     b1 = ln1b_ref[0].astype(jnp.float32)
@@ -417,8 +498,13 @@ def _packed_block_bwd_body(
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
     if FUSED_HEAD_MATMULS:
+        drop_a = (
+            (site_keep(hdrop.SITE_ATTN, (LANES, num_heads * LANES), rate_a), rate_a)
+            if seed_ref is not None and rate_a > 0 else None
+        )
         av_all, hb_res = _headbatched_attention(
-            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=True
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=True,
+            drop=drop_a,
         )
         heads_p = None
     else:
@@ -437,18 +523,36 @@ def _packed_block_bwd_body(
         av_all = jnp.concatenate(av_heads, axis=1)
 
     acc = bmm(bcast(wp_ref), av_all, ((2,), (1,)))
-    y = x + acc + bp_ref[0].astype(jnp.float32)
+    if seed_ref is not None and rate_p > 0:
+        keep_p = site_keep(hdrop.SITE_PROJ, (c, LANES), rate_p)
+        y = x + hdrop.apply_mask(
+            acc + bp_ref[0].astype(jnp.float32), keep_p, rate_p
+        )
+    else:
+        keep_p = None
+        y = x + acc + bp_ref[0].astype(jnp.float32)
 
     ln_y, xhat2, inv2 = _ln_fwd_c(y, s2, b2v)
     pre1 = bmm(bcast(w1_ref), ln_y, ((2,), (1,))) + b1_ref[0].astype(jnp.float32)
     h1, dact = _act_and_grad(pre1, activation)
+    if seed_ref is not None and rate_m > 0:
+        hd_dim = w1_ref.shape[1]
+        keep_h = site_keep(hdrop.SITE_MLP_HIDDEN, (hd_dim, LANES), rate_m)
+        keep_m = site_keep(hdrop.SITE_MLP_OUT, (c, LANES), rate_m)
+        h1 = hdrop.apply_mask(h1, keep_h, rate_m)
+    else:
+        keep_h = keep_m = None
 
     # ---- backward ----
-    # out = y + W2 h1 + b2m
+    # out = y + drop_m(W2 h1 + b2m); h1 already carries the hidden-site mask, so
+    # gw2/g_h1 see the dropped hidden exactly as the forward's W2 matmul did
     g_y = g
-    gw2_ref[0] += jnp.sum(bmm(g, h1, ((2,), (2,))), axis=0)           # (C, Hd)
-    gb2_ref[0] += jnp.sum(g, axis=(0, 2))[:, None]
-    g_h1 = bmm(bcast(w2_ref), g, ((1,), (1,)))                        # (TILE, Hd, L)
+    g_m = hdrop.apply_mask(g, keep_m, rate_m) if keep_m is not None else g
+    gw2_ref[0] += jnp.sum(bmm(g_m, h1, ((2,), (2,))), axis=0)         # (C, Hd)
+    gb2_ref[0] += jnp.sum(g_m, axis=(0, 2))[:, None]
+    g_h1 = bmm(bcast(w2_ref), g_m, ((1,), (1,)))                      # (TILE, Hd, L)
+    if keep_h is not None:
+        g_h1 = hdrop.apply_mask(g_h1, keep_h, rate_m)
     g_pre = g_h1 * dact
     gw1_ref[0] += jnp.sum(bmm(g_pre, ln_y, ((2,), (2,))), axis=0)     # (Hd, C)
     gb1_ref[0] += jnp.sum(g_pre, axis=(0, 2))[:, None]
@@ -458,14 +562,16 @@ def _packed_block_bwd_body(
     gln2b_ref[0] += g_b2
     g_y = g_y + g_y2
 
-    # attention backward
-    gbp_ref[0] += jnp.sum(g_y, axis=(0, 2))[:, None]
-    g_av_all = bmm(bcast(wp_ref), g_y, ((1,), (1,)))                  # (TILE, IP, L)
-    gwp_ref[0] += jnp.sum(bmm(g_y, av_all, ((2,), (2,))), axis=0)     # (C, IP)
+    # attention backward (proj-site dropout scales the proj-output cotangent; the
+    # residual path through y stays unmasked)
+    g_po = hdrop.apply_mask(g_y, keep_p, rate_p) if keep_p is not None else g_y
+    gbp_ref[0] += jnp.sum(g_po, axis=(0, 2))[:, None]
+    g_av_all = bmm(bcast(wp_ref), g_po, ((1,), (1,)))                 # (TILE, IP, L)
+    gwp_ref[0] += jnp.sum(bmm(g_po, av_all, ((2,), (2,))), axis=0)    # (C, IP)
 
     if FUSED_HEAD_MATMULS:
         g_q_all, g_k_all, g_v_all, g_bias_acc = _headbatched_attention_grads(
-            q_all, g_av_all, hb_res, num_heads, dp, scale
+            q_all, g_av_all, hb_res, num_heads, dp, scale, drop=drop_a
         )
     else:
         g_q_heads, g_k_heads, g_v_heads = [], [], []
@@ -523,6 +629,10 @@ def _packed_block_bwd_body(
 
 
 def _packed_bwd_kernel(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        # seed is the 24th input (appended after g); outputs follow it
+        kw = dict(kw, seed_ref=refs[23])
+        refs = refs[:23] + refs[24:]
     (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
      gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
@@ -536,6 +646,10 @@ def _packed_bwd_kernel(*refs, **kw):
 
 
 def _packed_bwd_kernel_self(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        # seed is the 21st input (appended after g); outputs follow it
+        kw = dict(kw, seed_ref=refs[20])
+        refs = refs[:20] + refs[21:]
     (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
      gx, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
@@ -721,6 +835,8 @@ def pallas_packed_block_strips(
     dims_per_head: int,
     activation: str = "elu",
     interpret: bool = False,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    drop_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The fused block directly on the packed strip layout.
 
@@ -741,7 +857,22 @@ def pallas_packed_block_strips(
     dp = _dp_pad(d)
     hd = w1.shape[-1]
 
-    r_t = pack_rows_per_tile(nh, np_w, c, hd, num_heads)
+    drop_rates = tuple(float(r) for r in drop_rates)
+    has_drop = any(drop_rates)
+    if has_drop:
+        if not FUSED_HEAD_MATMULS:
+            raise NotImplementedError(
+                "hash dropout requires the head-batched attention path"
+            )
+        if drop_seed is None:
+            raise ValueError("drop_rates > 0 requires a drop_seed")
+        # f32 seed (< 2^24, exact in f32): custom_vjp then returns an ordinary
+        # zero cotangent for it (int inputs would need float0 special-casing)
+        seed_arr = jnp.asarray(drop_seed, jnp.float32).reshape(1)
+
+    r_t = pack_rows_per_tile(
+        nh, np_w, c, hd, num_heads, attn_drop=bool(drop_rates[0])
+    )
     n_tiles = nh // r_t
     tile = r_t * np_w
     n = s * b
@@ -829,14 +960,18 @@ def pallas_packed_block_strips(
 
     in_specs = make_in_specs(feat_inputs, mask_spec)
 
-    static = dict(num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation)
+    static = dict(
+        num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation,
+        drop_rates=drop_rates,
+    )
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
     inner_shapes = dict(
         w=(s, inner_p, c), b=(s, inner_p, 1), wp=(s, c, inner_p), cvec=(s, c, 1),
     )
 
     def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
-                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
+                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra):
         # mask materialised inside the closure: a shared jnp constant would leak as a
         # tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
@@ -849,7 +984,7 @@ def pallas_packed_block_strips(
         return pl.pallas_call(
             functools.partial(kernel, **static),
             grid=(n, n_tiles),
-            in_specs=in_specs,
+            in_specs=[*in_specs, seed_spec] if has_drop else in_specs,
             out_specs=feat,
             out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), xp.dtype),
             compiler_params=tpu_compiler_params(),
@@ -858,11 +993,12 @@ def pallas_packed_block_strips(
             *args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
+            *extra,
         )
 
     def _backward(res, g):
         (feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
-         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
+         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra) = res
         mask_arr = jnp.asarray(mask_np)
 
         # finer tiles than the forward: strips re-tile for free via a leading-dim
@@ -877,6 +1013,9 @@ def pallas_packed_block_strips(
                 + 2 * (num_heads * 8) * lanes_all * 4
                 + (c + hd) * LANES * 16
             )
+            if drop_rates[0]:
+                # attention keep-mask hash + the extra dropped-weights tensor
+                per_pair += 3 * LANES * lanes_all * 4
             budget = 48 << 20
             f_b = next(
                 (
@@ -917,7 +1056,10 @@ def pallas_packed_block_strips(
         outs = pl.pallas_call(
             functools.partial(kernel, batch=b, **static),
             grid=(n, n_tiles_b),
-            in_specs=[*bwd_in_specs, feat_b],
+            in_specs=(
+                [*bwd_in_specs, feat_b, seed_spec]
+                if has_drop else [*bwd_in_specs, feat_b]
+            ),
             out_specs=(
                 *feat_inputs_b,
                 stream_spec((c, 1)), stream_spec((c, 1)),
@@ -961,6 +1103,7 @@ def pallas_packed_block_strips(
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
             g,
+            *extra,
         )
         # back to the forward strip tiling (grads must match the residuals' shape)
         feat_grads = tuple(
@@ -984,6 +1127,7 @@ def pallas_packed_block_strips(
             cast(gln2s, ln2s), cast(gln2b, ln2b),
             cast(gw1, w1a), cast(gb1, b1l),
             cast(gw2, w2a), cast(gb2, b2l),
+            *(jnp.zeros_like(e) for e in extra),  # seed: no gradient
         )
 
     @jax.custom_vjp
@@ -1010,6 +1154,7 @@ def pallas_packed_block_strips(
         col(ln2_scale), col(ln2_bias),
         jnp.swapaxes(w1, -1, -2), col(b1),
         jnp.swapaxes(w2, -1, -2), col(b2),
+        *((seed_arr,) if has_drop else ()),
     )
 
     return out.reshape(s, b, nh, np_w, c, LANES)

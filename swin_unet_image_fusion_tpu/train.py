@@ -75,8 +75,20 @@ def make_train_step(cfg: Config, donate: bool = True):
 
     model = SwinFusionUNet(cfg.model)
     loss_cfg = cfg.loss
+    has_dropout = bool(
+        cfg.model.attention_drop_ratio
+        or cfg.model.linear_after_att_drop_ratio
+        or cfg.model.mlp_drop_ratio
+    )
 
     def step(state: TrainState, ir: jnp.ndarray, vis: jnp.ndarray):
+        # per-step dropout rng (only when a ratio is nonzero, so the default
+        # config's jaxpr / compile cache are unchanged)
+        rngs = (
+            {"dropout": jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)}
+            if has_dropout else None
+        )
+
         def loss_fn(params):
             fusion, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -84,6 +96,7 @@ def make_train_step(cfg: Config, donate: bool = True):
                 vis,
                 train=True,
                 mutable=["batch_stats"],
+                rngs=rngs,
             )
             fusion = jnp.clip(fusion, 0.0, 1.0)  # before the loss — a016_train.py:153
             total, terms = total_fusion_loss(loss_cfg, fusion, ir, vis)

@@ -61,14 +61,19 @@ def test_auto_attention_impl_resolves_to_jnp_on_cpu():
     assert ModelConfig().resolved_attention_impl() == "jnp"
 
 
-def test_pallas_impl_with_dropout_falls_back_to_jnp():
-    """Reference-legal dropout configs (a001:20-22) must not crash the fused paths."""
+def test_attention_impl_dropout_resolution():
+    """Reference-legal dropout configs (a001:20-22) must not crash the fused paths.
+
+    pallas / pallas_pack run dropout natively in-kernel (ops/hash_dropout.py);
+    only pallas_block falls back to the jnp path (with a warning)."""
     from swin_unet_image_fusion_tpu.config import ModelConfig
 
-    for impl in ["pallas", "pallas_block", "pallas_pack"]:
+    cfg = ModelConfig(attention_impl="pallas_block", mlp_drop_ratio=0.1)
+    with pytest.warns(UserWarning, match="does not support dropout"):
+        assert cfg.resolved_attention_impl() == "jnp"
+    for impl in ["pallas", "pallas_pack"]:
         cfg = ModelConfig(attention_impl=impl, mlp_drop_ratio=0.1)
-        with pytest.warns(UserWarning, match="does not support dropout"):
-            assert cfg.resolved_attention_impl() == "jnp"
+        assert cfg.resolved_attention_impl() == impl
     # zero ratios keep the explicit choice
     assert ModelConfig(attention_impl="pallas").resolved_attention_impl() == "pallas"
 
