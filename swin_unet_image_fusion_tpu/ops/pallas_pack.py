@@ -854,7 +854,12 @@ def pallas_packed_block_strips(
     h, w = hw
     wh, ww = window
     d = dims_per_head
-    dp = _dp_pad(d)
+    # The head-batched kernels never slice q/k/v per head (heads are separated by
+    # the block-diagonal iota masks and 128-aligned lane slices of p_cat), so the
+    # per-head dim needs NO 8-sublane padding there: dp = d cuts the score/AV
+    # contraction rows 64 -> heads*d (2.67x at stage 0, d=3). The per-head-loop
+    # fallback still slices (heads*dp, 128) on sublanes and keeps the padding.
+    dp = d if FUSED_HEAD_MATMULS else _dp_pad(d)
     hd = w1.shape[-1]
 
     drop_rates = tuple(float(r) for r in drop_rates)
