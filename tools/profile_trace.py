@@ -88,5 +88,66 @@ def trace_train_step(out_dir="/tmp/jax_trace_train", hw=224, batch=20,
     print(f"train trace written to {out_dir}")
 
 
+def summarize(trace_dir: str, top: int = 20) -> None:
+    """Print a grouped per-iteration op-time table from a captured trace.
+
+    Parses the XPlane proto directly (no TensorBoard needed) and groups XLA ops
+    into kernel / layout / copy buckets — the table behind the plateau analyses
+    in docs/BENCHMARKS.md. Assumes the trace wrapped 3 iterations (main()).
+    """
+    import collections
+    import glob
+    import re
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # baked-in tf
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        raise RuntimeError("no TPU plane in trace (CPU run?)")
+    plane = planes[0]
+    emeta = plane.event_metadata
+    (line,) = [l for l in plane.lines if l.name == "XLA Ops"]
+
+    def group(name):
+        n = re.sub(r"\.\d+$", "", name.split(" = ")[0].lstrip("%"))
+        if "_packed_block" in n:
+            return "packed block kernels"
+        if "_pallas_forward" in n or "_attention" in n:
+            return "nhwc attention kernels"
+        if n.startswith(("fusion", "loop_")):
+            return "XLA fusions (layout/elementwise)"
+        if n.startswith("copy"):
+            return "copies"
+        if n.startswith(("transpose", "bitcast", "reshape")):
+            return "transpose/reshape"
+        if n.startswith(("convolution", "dot")):
+            return "conv/dot"
+        return n.split(".")[0][:40]
+
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for ev in line.events:
+        g = group(emeta[ev.metadata_id].name)
+        tot[g] += ev.duration_ps
+        cnt[g] += 1
+    total = sum(tot.values())
+    iters = 3
+    print(f"total {total / iters / 1e9:.1f} ms/iter ({paths[-1]})")
+    for g, t in tot.most_common(top):
+        print(
+            f"{t / iters / 1e9:9.2f}ms {100 * t / total:5.1f}%"
+            f" {cnt[g] // iters:6d}x  {g}"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "summary":
+        summarize(sys.argv[2] if len(sys.argv) > 2 else "/tmp/jax_trace")
+    else:
+        main()
