@@ -61,6 +61,16 @@ LANES = 2 * TOK  # two windows per lane register
 # matmul with a heads*dp contraction. Module flag for A/B benchmarking.
 FUSED_HEAD_MATMULS = True
 
+# Transposed half-size score maps (_win64_attention): keys on sublanes (head-major
+# TOK blocks), queries on lanes (the packed 2-window layout). Each window's scores
+# occupy 64 lanes instead of sharing a 2x-redundant 128x(H*128) map, halving every
+# VPU pass over the score tensors (bias add, mask select, softmax, dropout) — the
+# measured per-pair floor of the 128-lane layout (docs/ROADMAP.md roofline), and it
+# also halves the in-kernel bias/mask/k/v tiling work. Requires the head-batched
+# path and an 8-aligned all-head inner dim (sublane slices/concats). Module flag
+# for A/B benchmarking.
+WIN64_SCORES = True
+
 
 def _dp_pad(d: int) -> int:
     """Per-head dim padded to the 8-sublane boundary."""
@@ -70,17 +80,26 @@ def _dp_pad(d: int) -> int:
 def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
                        num_heads: int = 8,
                        budget_bytes: Optional[int] = None,
-                       attn_drop: bool = False) -> int:
+                       attn_drop: bool = False,
+                       win64: bool = False) -> int:
     """Window-pair rows per grid step under a VMEM live-set budget.
 
     With head-batched attention (FUSED_HEAD_MATMULS) the dominant per-pair residents
     are the all-head score/softmax maps (2 x LANES x heads*LANES f32) and the
     block-diagonal k/v (2 x ~heads*8 x heads*LANES f32), not the feature strip; the
-    strip + MLP-hidden term still matters at large C."""
+    strip + MLP-hidden term still matters at large C. The transposed win64 layout
+    halves every score-shaped term."""
     if budget_bytes is None:
         budget_bytes = (40 << 20) if FUSED_HEAD_MATMULS else (2 << 20)
     per_pair = (c + hd) * LANES * 4
-    if FUSED_HEAD_MATMULS:
+    if win64:
+        hk = num_heads * TOK
+        per_pair += 2 * hk * LANES * 4                 # s_t + p_t
+        per_pair += 2 * (2 * num_heads * 8) * hk * 4   # k_bd2 + v_bd2
+        per_pair += hk * LANES                         # int8 mask
+        if attn_drop:
+            per_pair += 2 * hk * LANES * 4
+    elif FUSED_HEAD_MATMULS:
         lanes_all = num_heads * LANES
         per_pair += 2 * LANES * lanes_all * 4          # s_all + p_cat
         per_pair += 2 * (num_heads * 8) * lanes_all * 4  # k_bd + v_bd (dp>=8)
@@ -213,6 +232,160 @@ def _headbatched_attention_grads(
     return g_q_all, g_k_all, g_v_all, g_bias
 
 
+def _bmm(a, b, contract):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _win64_selectors(num_heads: int):
+    """Per-window lane selectors SEL_w (LANES, heads*TOK): SEL_w[l, h*TOK+j] = 1 iff
+    l == w*TOK + j. Matmuls with these move a window's 64-lane slot into every
+    head's TOK block — the MXU lane-gather idiom (cf. repartition_packed), avoiding
+    64-offset lane slices (a Mosaic relayout)."""
+    hk = num_heads * TOK
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, hk), 0)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (LANES, hk), 1)
+    return tuple(
+        (lane_l == w * TOK + lane_m % TOK).astype(jnp.float32) for w in (0, 1)
+    )
+
+
+def _win64_head_diag(num_heads: int, dp: int):
+    """(1, heads*dp, heads*TOK) bool: row-head == lane-block-head."""
+    ip = num_heads * dp
+    hk = num_heads * TOK
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (ip, hk), 0) // dp
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (ip, hk), 1) // TOK
+    return (row_head == col_head)[None]
+
+
+def _win64_lane_w():
+    """(1, 1, LANES) int32: window index of each packed lane."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) // TOK
+
+
+def _win64_build(q_all, k_all, v_all, num_heads, dp):
+    """Block-diagonal operands for the transposed score layout.
+
+    q_bd (TILE, 2*ip, LANES): q duplicated per window, lane-masked to its window —
+    rows (w, h*dp+d) so the score contraction picks each query's own window.
+    k_bd2/v_bd2 (TILE, 2*ip, heads*TOK): rows (w, h*dp+d) hold window-w keys/values
+    at lane block h (head-diagonal), via the selector matmuls.
+    """
+    sels = _win64_selectors(num_heads)
+    hd_bd = _win64_head_diag(num_heads, dp)
+    lane_w = _win64_lane_w()
+
+    def bd2(a):
+        return jnp.concatenate(
+            [
+                jnp.where(hd_bd, jax.lax.dot_general(
+                    a, sel, (((2,), (0,)), ((), ()))), 0.0)
+                for sel in sels
+            ],
+            axis=1,
+        )
+
+    q_bd = jnp.concatenate(
+        [jnp.where(lane_w == w, q_all, 0.0) for w in (0, 1)], axis=1
+    )
+    return q_bd, bd2(k_all), bd2(v_all), lane_w
+
+
+def _win64_attention(
+    q_all, k_all, v_all, bias_t, mask_t, num_heads, dp, scale, return_res=False,
+    drop=None,
+):
+    """All-head window attention on transposed (heads*TOK, LANES) score maps.
+
+    S_T[t, h*TOK+j, w*TOK+i] = scores of query (w, i) against key j under head h:
+    keys on sublanes, queries on lanes, one window per 64 score lanes. Same two big
+    MXU matmuls as :func:`_headbatched_attention` but every score-shaped tensor is
+    half the size — the dense per-window softmax (the measured VPU floor), the bias
+    and mask selects, and the block-diagonal k/v tilings. ``bias_t``/``mask_t`` come
+    pre-transposed from :func:`_packed_bias_t` / :func:`_packed_mask_t`.
+    """
+    ip = num_heads * dp
+    q_bd, k_bd2, v_bd2, lane_w = _win64_build(q_all, k_all, v_all, num_heads, dp)
+
+    s_t = _bmm(k_bd2, q_bd, ((1,), (1,))) * scale + bias_t[None]
+    s_t = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), s_t)
+
+    # per-head softmax over the key sublanes (64-row blocks, 8-aligned slices)
+    p_t = jnp.concatenate(
+        [
+            jax.nn.softmax(s_t[:, h * TOK : (h + 1) * TOK, :], axis=1)
+            for h in range(num_heads)
+        ],
+        axis=1,
+    )
+    p_use = hdrop.apply_mask(p_t, *drop) if drop is not None else p_t
+    out2 = _bmm(v_bd2, p_use, ((2,), (1,)))                 # (TILE, 2*ip, LANES)
+    av_all = (
+        jnp.where(lane_w == 0, out2[:, :ip, :], 0.0)
+        + jnp.where(lane_w == 1, out2[:, ip:, :], 0.0)
+    )
+    if return_res:
+        return av_all, (p_t, q_bd, k_bd2, v_bd2)
+    return av_all
+
+
+def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
+    """Gradients of :func:`_win64_attention` from the recompute residuals.
+
+    All layout moves are the same masked stacks / selector matmuls as the forward
+    build, transposed — no in-kernel transposes. Returns (g_q_all, g_k_all,
+    g_v_all, g_bias_t) with g_bias_t in the transposed (heads*TOK, LANES) layout
+    (mapped back to the shared (T, T) table outside the kernel by autodiff through
+    :func:`_packed_bias_t`).
+    """
+    p_t, q_bd, k_bd2, v_bd2 = res
+    ip = num_heads * dp
+    sels = _win64_selectors(num_heads)
+    hd_bd = _win64_head_diag(num_heads, dp)
+    lane_w = _win64_lane_w()
+
+    g_av_bd = jnp.concatenate(
+        [jnp.where(lane_w == w, g_av_all, 0.0) for w in (0, 1)], axis=1
+    )
+    g_p = _bmm(v_bd2, g_av_bd, ((1,), (1,)))                # (TILE, hk, LANES)
+    if drop is not None:
+        p_use = hdrop.apply_mask(p_t, *drop)
+        g_p = hdrop.apply_mask(g_p, *drop)
+    else:
+        p_use = p_t
+
+    g_s_heads = []
+    for h in range(num_heads):
+        sl = slice(h * TOK, (h + 1) * TOK)
+        p = p_t[:, sl, :]
+        gp = g_p[:, sl, :]
+        tmp = jnp.sum(gp * p, axis=1, keepdims=True)
+        g_s_heads.append(p * (gp - tmp))
+    g_s = jnp.concatenate(g_s_heads, axis=1)                # (TILE, hk, LANES)
+    g_bias_t = jnp.sum(g_s, axis=0)
+
+    g_qbd = _bmm(k_bd2, g_s, ((2,), (1,))) * scale          # (TILE, 2*ip, LANES)
+    g_q_all = (
+        jnp.where(lane_w == 0, g_qbd[:, :ip, :], 0.0)
+        + jnp.where(lane_w == 1, g_qbd[:, ip:, :], 0.0)
+    )
+    g_kbd = _bmm(q_bd, g_s, ((2,), (2,))) * scale           # (TILE, 2*ip, hk)
+    g_vbd = _bmm(g_av_bd, p_use, ((2,), (2,)))
+
+    def unbd2(g):
+        out = None
+        for w, sel in enumerate(sels):
+            gw = jnp.where(hd_bd, g[:, w * ip : (w + 1) * ip, :], 0.0)
+            contrib = jax.lax.dot_general(gw, sel, (((2,), (1,)), ((), ())))
+            out = contrib if out is None else out + contrib
+        return out                                          # (TILE, ip, LANES)
+
+    return g_q_all, unbd2(g_kbd), unbd2(g_vbd), g_bias_t
+
+
 def _packed_block_fwd_body(
     x_ref,        # (1, TILE, C, 128)
     kv_ref,       # (1, TILE, C, 128) (cross) or x_ref (self)
@@ -228,7 +401,7 @@ def _packed_block_fwd_body(
     bv_ref,
     wp_ref,       # (1, C, heads*dp)
     bp_ref,       # (1, C, 1)
-    bias_ref,     # (1, 128, 128) block-diagonal rel-pos bias
+    bias_ref,     # (1, 128, 128) block-diag rel-pos bias, or (1, H*TOK, 128) win64
     mask_ref,     # (TILE or 1, 128, 128) int8
     ln2s_ref,     # (1, C, 1)
     ln2b_ref,
@@ -242,6 +415,7 @@ def _packed_block_fwd_body(
     dp: int,
     scale: float,
     activation: str,
+    win64: bool = False,
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,  # (1,) SMEM f32 hash-dropout seed (only when any rate > 0)
 ):
@@ -276,7 +450,7 @@ def _packed_block_fwd_body(
     else:
         ln_kv = layer_norm(kv, ln1kvs_ref, ln1kvb_ref)
 
-    bias = bias_ref[0].astype(jnp.float32)    # (128, 128)
+    bias = bias_ref[0].astype(jnp.float32)    # (128, 128) / (H*TOK, 128) win64
     mask = mask_ref[...]                      # (TILE or 1, 128, 128)
 
     def bmm(a, b, contract):
@@ -293,7 +467,15 @@ def _packed_block_fwd_body(
     k_all = bmm(bcast(wk_ref), ln_kv, ((2,), (1,))) + bk_ref[0].astype(jnp.float32)
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
-    if FUSED_HEAD_MATMULS:
+    if win64:
+        drop_a = (
+            (site_keep(hdrop.SITE_ATTN, (num_heads * TOK, LANES), rate_a), rate_a)
+            if seed_ref is not None and rate_a > 0 else None
+        )
+        av_all = _win64_attention(
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, drop=drop_a
+        )
+    elif FUSED_HEAD_MATMULS:
         drop_a = (
             (site_keep(hdrop.SITE_ATTN, (LANES, num_heads * LANES), rate_a), rate_a)
             if seed_ref is not None and rate_a > 0 else None
@@ -431,6 +613,7 @@ def _packed_block_bwd_body(
     scale: float,
     activation: str,
     batch: int,
+    win64: bool = False,
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,
 ):
@@ -497,7 +680,17 @@ def _packed_block_bwd_body(
     k_all = bmm(bcast(wk_ref), ln_kv, ((2,), (1,))) + bk_ref[0].astype(jnp.float32)
     v_all = bmm(bcast(wv_ref), ln_kv, ((2,), (1,))) + bv_ref[0].astype(jnp.float32)
 
-    if FUSED_HEAD_MATMULS:
+    if win64:
+        drop_a = (
+            (site_keep(hdrop.SITE_ATTN, (num_heads * TOK, LANES), rate_a), rate_a)
+            if seed_ref is not None and rate_a > 0 else None
+        )
+        av_all, hb_res = _win64_attention(
+            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=True,
+            drop=drop_a,
+        )
+        heads_p = None
+    elif FUSED_HEAD_MATMULS:
         drop_a = (
             (site_keep(hdrop.SITE_ATTN, (LANES, num_heads * LANES), rate_a), rate_a)
             if seed_ref is not None and rate_a > 0 else None
@@ -569,7 +762,11 @@ def _packed_block_bwd_body(
     g_av_all = bmm(bcast(wp_ref), g_po, ((1,), (1,)))                 # (TILE, IP, L)
     gwp_ref[0] += jnp.sum(bmm(g_po, av_all, ((2,), (2,))), axis=0)    # (C, IP)
 
-    if FUSED_HEAD_MATMULS:
+    if win64:
+        g_q_all, g_k_all, g_v_all, g_bias_acc = _win64_attention_grads(
+            g_av_all, hb_res, num_heads, dp, scale, drop=drop_a
+        )
+    elif FUSED_HEAD_MATMULS:
         g_q_all, g_k_all, g_v_all, g_bias_acc = _headbatched_attention_grads(
             q_all, g_av_all, hb_res, num_heads, dp, scale, drop=drop_a
         )
@@ -789,6 +986,38 @@ def _packed_bias(bias: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _packed_bias_t(bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(S, T, T) rel-pos bias -> (S, heads*TOK, LANES) for the transposed layout.
+
+    bias_t[s, h*TOK + j, w*TOK + i] = bias[s, i, j]: key-major rows (identical per
+    head block — the table is shared across heads, a001_WindowAttention.py:72-82),
+    packed-query lanes (identical per window slot). Differentiable jnp ops so the
+    kernel's transposed bias cotangent maps back onto the (T, T) table."""
+    s, t, _ = bias.shape
+    bt = jnp.zeros((s, TOK, TOK), bias.dtype).at[:, :t, :t].set(
+        jnp.swapaxes(bias, 1, 2)
+    )
+    one = jnp.concatenate([bt, bt], axis=2)          # (S, TOK, LANES)
+    return jnp.tile(one, (1, num_heads, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_mask_t(
+    hw: Tuple[int, int], window: Tuple[int, int], shift: bool, num_heads: int
+) -> Tuple[np.ndarray, int]:
+    """:func:`_packed_mask` in the transposed layout: (n, heads*TOK, LANES) with
+    mask_t[p, h*TOK + j, w*TOK + i] = mask[p, w*TOK + i, w*TOK + j]. The
+    cross-window blocks vanish (each window's scores own their 64 lanes), leaving
+    only pad-token and edge-validity masking."""
+    full, n = _packed_mask(hw, window, shift)
+    blocks = [
+        np.swapaxes(full[:, w * TOK : (w + 1) * TOK, w * TOK : (w + 1) * TOK], 1, 2)
+        for w in (0, 1)
+    ]
+    one = np.concatenate(blocks, axis=2)             # (n, TOK, LANES)
+    return np.tile(one, (1, num_heads, 1)), n
+
+
 # ------------------------------------------------------------------- entry point
 
 
@@ -861,6 +1090,9 @@ def pallas_packed_block_strips(
     # fallback still slices (heads*dp, 128) on sublanes and keeps the padding.
     dp = d if FUSED_HEAD_MATMULS else _dp_pad(d)
     hd = w1.shape[-1]
+    # transposed half-size score maps need 8-aligned sublane slices/concats of the
+    # (2*heads*dp, ·) block-diagonal operands
+    use_win64 = WIN64_SCORES and FUSED_HEAD_MATMULS and (num_heads * dp) % 8 == 0
 
     drop_rates = tuple(float(r) for r in drop_rates)
     has_drop = any(drop_rates)
@@ -876,7 +1108,8 @@ def pallas_packed_block_strips(
         seed_arr = jnp.asarray(drop_seed, jnp.float32).reshape(1)
 
     r_t = pack_rows_per_tile(
-        nh, np_w, c, hd, num_heads, attn_drop=bool(drop_rates[0])
+        nh, np_w, c, hd, num_heads, attn_drop=bool(drop_rates[0]),
+        win64=use_win64,
     )
     n_tiles = nh // r_t
     tile = r_t * np_w
@@ -885,8 +1118,14 @@ def pallas_packed_block_strips(
     def to_strips(a):  # (S, B, nH, nPw, C, 128) -> (n*n_tiles, TILE, C, 128)
         return a.reshape(n * n_tiles, tile, c, LANES)
 
-    mask_np, mask_n = _packed_mask((h, w), window, shift)
-    bias_p = _packed_bias(bias)
+    if use_win64:
+        mask_np, mask_n = _packed_mask_t((h, w), window, shift, num_heads)
+        bias_p = _packed_bias_t(bias, num_heads)
+    else:
+        mask_np, mask_n = _packed_mask((h, w), window, shift)
+        bias_p = _packed_bias(bias)
+    bias_shape = tuple(bias_p.shape[1:])
+    mask_inner = tuple(mask_np.shape[1:])
 
     def t_w(wmat):  # (S, C, inner) -> (S, heads*dp, C), transposed + head-padded
         wt = wmat.reshape(s, c, num_heads, d).transpose(0, 2, 3, 1)  # (S, H, d, C)
@@ -934,11 +1173,11 @@ def pallas_packed_block_strips(
 
     if mask_n == 1:
         mask_spec = pl.BlockSpec(
-            (1, LANES, LANES), lambda i, r: (0, 0, 0), memory_space=pltpu.VMEM
+            (1, *mask_inner), lambda i, r: (0, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         mask_spec = pl.BlockSpec(
-            (tile, LANES, LANES), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
+            (tile, *mask_inner), lambda i, r: (r, 0, 0), memory_space=pltpu.VMEM
         )
 
     inner_p = num_heads * dp
@@ -956,7 +1195,7 @@ def pallas_packed_block_strips(
             stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
             stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
             stream_spec((c, inner_p)), stream_spec((c, 1)),
-            stream_spec((LANES, LANES)),
+            stream_spec(bias_shape),
             mask_sp,
             stream_spec((c, 1)), stream_spec((c, 1)),
             stream_spec((hd, c)), stream_spec((hd, 1)),
@@ -967,7 +1206,7 @@ def pallas_packed_block_strips(
 
     static = dict(
         num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation,
-        drop_rates=drop_rates,
+        win64=use_win64, drop_rates=drop_rates,
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
@@ -1011,7 +1250,28 @@ def pallas_packed_block_strips(
         # (TILE, LANES, H*LANES) f32 tensors live (p/g_p/g_s + two matmul results),
         # far fewer than the per-head-loop accounting in bwd_split_factor — use a
         # matching estimate or the bwd degenerates to one pair per grid step.
-        if FUSED_HEAD_MATMULS:
+        if use_win64:
+            # score-shaped tensors are (heads*TOK, LANES) — half the 128-lane
+            # layout's; the (2*ip, hk) block-diagonal operands and their
+            # cotangents are the other residents
+            hk = num_heads * TOK
+            per_pair = (
+                6 * hk * LANES * 4
+                + 6 * (2 * inner_p) * hk * 4
+                + (c + hd) * LANES * 16
+            )
+            if drop_rates[0]:
+                per_pair += 3 * hk * LANES * 4
+            budget = 48 << 20
+            f_b = next(
+                (
+                    f
+                    for f in range(1, tile + 1)
+                    if tile % f == 0 and (tile // f) * per_pair <= budget
+                ),
+                tile,
+            )
+        elif FUSED_HEAD_MATMULS:
             lanes_all = num_heads * LANES
             per_pair = (
                 6 * LANES * lanes_all * 4
@@ -1039,7 +1299,7 @@ def pallas_packed_block_strips(
             mask_spec_b = mask_spec
         else:
             mask_spec_b = pl.BlockSpec(
-                (tile_b, LANES, LANES), lambda i, r: (r, 0, 0),
+                (tile_b, *mask_inner), lambda i, r: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         feat_inputs_b = [feat_b, feat_other_b] if cross else [feat_b]
@@ -1073,7 +1333,7 @@ def pallas_packed_block_strips(
                 stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
                 stream_spec((inner_p, c)), stream_spec((inner_p, 1)),
                 stream_spec((c, inner_p)), stream_spec((c, 1)),
-                stream_spec((LANES, LANES)),
+                stream_spec(bias_shape),
                 stream_spec((c, 1)), stream_spec((c, 1)),
                 stream_spec((hd, c)), stream_spec((hd, 1)),
                 stream_spec((c, hd)), stream_spec((c, 1)),
@@ -1093,7 +1353,7 @@ def pallas_packed_block_strips(
                 jax.ShapeDtypeStruct(inner_shapes["b"], f32),
                 jax.ShapeDtypeStruct(inner_shapes["wp"], f32),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
-                jax.ShapeDtypeStruct((s, LANES, LANES), f32),
+                jax.ShapeDtypeStruct((s, *bias_shape), f32),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
                 jax.ShapeDtypeStruct(inner_shapes["cvec"], f32),
                 jax.ShapeDtypeStruct((s, hd, c), f32),
