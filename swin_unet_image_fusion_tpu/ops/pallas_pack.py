@@ -266,27 +266,53 @@ def _win64_lane_w():
     return jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) // TOK
 
 
+def _win64_roll_ok(num_heads: int) -> bool:
+    """The lane-roll build needs heads*TOK to be whole 128-lane blocks."""
+    return (num_heads * TOK) % LANES == 0
+
+
 def _win64_build(q_all, k_all, v_all, num_heads, dp):
     """Block-diagonal operands for the transposed score layout.
 
     q_bd (TILE, 2*ip, LANES): q duplicated per window, lane-masked to its window —
     rows (w, h*dp+d) so the score contraction picks each query's own window.
     k_bd2/v_bd2 (TILE, 2*ip, heads*TOK): rows (w, h*dp+d) hold window-w keys/values
-    at lane block h (head-diagonal), via the selector matmuls.
+    at lane block h (head-diagonal).
+
+    Window separation is a 64-lane move inside each 128-lane block. With even
+    heads it is done with ONE 64-lane roll + selects: tiling k to (ip, heads*TOK)
+    makes every 128-block [w0|w1], a 64-lane roll of the periodic array gives
+    [w1|w0] in every block (any roll direction — the array is 128-periodic), and
+    two selects pick [w0|w0] / [w1|w1]. ~8x cheaper than the per-window selector
+    matmuls, which remain as the odd-heads fallback.
     """
-    sels = _win64_selectors(num_heads)
+    hk = num_heads * TOK
     hd_bd = _win64_head_diag(num_heads, dp)
     lane_w = _win64_lane_w()
 
-    def bd2(a):
-        return jnp.concatenate(
-            [
-                jnp.where(hd_bd, jax.lax.dot_general(
-                    a, sel, (((2,), (0,)), ((), ()))), 0.0)
-                for sel in sels
-            ],
-            axis=1,
-        )
+    if _win64_roll_ok(num_heads):
+        low = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, hk), 2) % LANES) < TOK
+
+        def bd2(a):
+            tiled = jnp.concatenate([a] * (hk // LANES), axis=2)  # [w0|w1] blocks
+            rolled = pltpu.roll(tiled, TOK, axis=2)               # [w1|w0] blocks
+            kk0 = jnp.where(low, tiled, rolled)
+            kk1 = jnp.where(low, rolled, tiled)
+            return jnp.concatenate(
+                [jnp.where(hd_bd, kk0, 0.0), jnp.where(hd_bd, kk1, 0.0)], axis=1
+            )
+    else:
+        sels = _win64_selectors(num_heads)
+
+        def bd2(a):
+            return jnp.concatenate(
+                [
+                    jnp.where(hd_bd, jax.lax.dot_general(
+                        a, sel, (((2,), (0,)), ((), ()))), 0.0)
+                    for sel in sels
+                ],
+                axis=1,
+            )
 
     q_bd = jnp.concatenate(
         [jnp.where(lane_w == w, q_all, 0.0) for w in (0, 1)], axis=1
@@ -343,7 +369,7 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
     """
     p_t, q_bd, k_bd2, v_bd2 = res
     ip = num_heads * dp
-    sels = _win64_selectors(num_heads)
+    hk = num_heads * TOK
     hd_bd = _win64_head_diag(num_heads, dp)
     lane_w = _win64_lane_w()
 
@@ -375,13 +401,33 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
     g_kbd = _bmm(q_bd, g_s, ((2,), (2,))) * scale           # (TILE, 2*ip, hk)
     g_vbd = _bmm(g_av_bd, p_use, ((2,), (2,)))
 
-    def unbd2(g):
-        out = None
-        for w, sel in enumerate(sels):
-            gw = jnp.where(hd_bd, g[:, w * ip : (w + 1) * ip, :], 0.0)
-            contrib = jax.lax.dot_general(gw, sel, (((2,), (1,)), ((), ())))
-            out = contrib if out is None else out + contrib
-        return out                                          # (TILE, ip, LANES)
+    if _win64_roll_ok(num_heads):
+        # inverse of the roll build: head-diag mask, fold the 128-lane blocks
+        # (128-aligned slices), then sum the two window halves with one roll and
+        # select the window's own half into its packed lanes
+        low128 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) % LANES
+        ) < TOK
+
+        def unbd2(g):
+            outs = []
+            for w in (0, 1):
+                gw = jnp.where(hd_bd, g[:, w * ip : (w + 1) * ip, :], 0.0)
+                folded = gw[:, :, :LANES]
+                for b in range(1, hk // LANES):
+                    folded = folded + gw[:, :, b * LANES : (b + 1) * LANES]
+                outs.append(folded + pltpu.roll(folded, TOK, axis=2))
+            return jnp.where(low128, outs[0], outs[1])      # (TILE, ip, LANES)
+    else:
+        sels = _win64_selectors(num_heads)
+
+        def unbd2(g):
+            out = None
+            for w, sel in enumerate(sels):
+                gw = jnp.where(hd_bd, g[:, w * ip : (w + 1) * ip, :], 0.0)
+                contrib = jax.lax.dot_general(gw, sel, (((2,), (1,)), ((), ())))
+                out = contrib if out is None else out + contrib
+            return out                                      # (TILE, ip, LANES)
 
     return g_q_all, unbd2(g_kbd), unbd2(g_vbd), g_bias_t
 
