@@ -66,6 +66,7 @@ def shift_pad_geometry(
     window: Tuple[int, int],
     shift: bool,
     even_cols: bool = False,
+    even_rows: bool = False,
 ) -> Tuple[int, int, int, int, int, int]:
     """Padded-map geometry for the roll-free shifted window partition.
 
@@ -93,6 +94,12 @@ def shift_pad_geometry(
     if even_cols and nw % 2:
         nw += 1  # dummy (fully masked) window column so pairs pack evenly
         wp += ww
+    if even_rows and nh % 2:
+        # dummy (fully masked) window row: an even row count always admits a
+        # multi-row kernel tile (prime counts like 37/19 at 512^2 forced one-row
+        # grid steps, whose fixed per-step cost is ~25% at the win64 speed)
+        nh += 1
+        hp += wh
     return top, left, hp, wp, nh, nw
 
 

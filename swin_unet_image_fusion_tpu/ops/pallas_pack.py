@@ -90,13 +90,20 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
     strip + MLP-hidden term still matters at large C. The transposed win64 layout
     halves every score-shaped term."""
     if budget_bytes is None:
-        budget_bytes = (40 << 20) if FUSED_HEAD_MATMULS else (2 << 20)
+        # win64: the estimate below is deliberately conservative vs Mosaic's real
+        # buffer reuse (tiles estimated at 134M compiled fine under the 100M scoped
+        # limit), so the budget is set high enough to admit 2-row tiles at stage-0
+        # shapes — measured -26% wall vs one-row grid steps (docs/BENCHMARKS.md)
+        if win64:
+            budget_bytes = 96 << 20
+        else:
+            budget_bytes = (40 << 20) if FUSED_HEAD_MATMULS else (2 << 20)
     per_pair = (c + hd) * LANES * 4
     if win64:
         hk = num_heads * TOK
         per_pair += 2 * hk * LANES * 4                 # s_t + p_t
         per_pair += 2 * (2 * num_heads * 8) * hk * 4   # k_bd2 + v_bd2
-        per_pair += hk * LANES                         # int8 mask
+        per_pair += TOK * LANES                        # compact int8 mask
         if attn_drop:
             per_pair += 2 * hk * LANES * 4
     elif FUSED_HEAD_MATMULS:
@@ -336,17 +343,23 @@ def _win64_attention(
     ip = num_heads * dp
     q_bd, k_bd2, v_bd2, lane_w = _win64_build(q_all, k_all, v_all, num_heads, dp)
 
-    s_t = _bmm(k_bd2, q_bd, ((1,), (1,))) * scale + bias_t[None]
-    s_t = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), s_t)
+    s_t = _bmm(k_bd2, q_bd, ((1,), (1,))) * scale
 
-    # per-head softmax over the key sublanes (64-row blocks, 8-aligned slices)
-    p_t = jnp.concatenate(
-        [
-            jax.nn.softmax(s_t[:, h * TOK : (h + 1) * TOK, :], axis=1)
-            for h in range(num_heads)
-        ],
-        axis=1,
-    )
+    # bias and mask rows are identical for every head (the table is shared across
+    # heads, a001:72-82; validity doesn't depend on the head), so both come in
+    # UNTILED — (TOK, LANES) instead of (heads*TOK, LANES) — and apply inside the
+    # per-head softmax slices: 8x less mask DMA (the measured per-pair mask cost
+    # at 512^2), zero extra VPU passes. The shared pad-token mask is pre-folded
+    # into bias_t additively (s + -1e10 underflows to exactly 0 through the
+    # shifted softmax, same as the reference's set-to--1e10); mask_t carries only
+    # the per-pair edge validity and is None for all-interior geometries.
+    def head_block(h):
+        sl = s_t[:, h * TOK : (h + 1) * TOK, :] + bias_t[None]
+        if mask_t is not None:
+            sl = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), sl)
+        return jax.nn.softmax(sl, axis=1)
+
+    p_t = jnp.concatenate([head_block(h) for h in range(num_heads)], axis=1)
     p_use = hdrop.apply_mask(p_t, *drop) if drop is not None else p_t
     out2 = _bmm(v_bd2, p_use, ((2,), (1,)))                 # (TILE, 2*ip, LANES)
     av_all = (
@@ -384,14 +397,17 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
         p_use = p_t
 
     g_s_heads = []
+    g_bias_t = jnp.zeros((TOK, LANES), jnp.float32)
     for h in range(num_heads):
         sl = slice(h * TOK, (h + 1) * TOK)
         p = p_t[:, sl, :]
         gp = g_p[:, sl, :]
         tmp = jnp.sum(gp * p, axis=1, keepdims=True)
-        g_s_heads.append(p * (gp - tmp))
+        g_s_h = p * (gp - tmp)
+        g_s_heads.append(g_s_h)
+        # the bias input is untiled (TOK, LANES), shared across heads -> sum
+        g_bias_t = g_bias_t + jnp.sum(g_s_h, axis=0)
     g_s = jnp.concatenate(g_s_heads, axis=1)                # (TILE, hk, LANES)
-    g_bias_t = jnp.sum(g_s, axis=0)
 
     g_qbd = _bmm(k_bd2, g_s, ((2,), (1,))) * scale          # (TILE, 2*ip, LANES)
     g_q_all = (
@@ -462,6 +478,7 @@ def _packed_block_fwd_body(
     scale: float,
     activation: str,
     win64: bool = False,
+    fold_mask: bool = False,  # win64 + shared mask: mask pre-added into the bias
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,  # (1,) SMEM f32 hash-dropout seed (only when any rate > 0)
 ):
@@ -519,7 +536,8 @@ def _packed_block_fwd_body(
             if seed_ref is not None and rate_a > 0 else None
         )
         av_all = _win64_attention(
-            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, drop=drop_a
+            q_all, k_all, v_all, bias, None if fold_mask else mask,
+            num_heads, dp, scale, drop=drop_a
         )
     elif FUSED_HEAD_MATMULS:
         drop_a = (
@@ -660,6 +678,7 @@ def _packed_block_bwd_body(
     activation: str,
     batch: int,
     win64: bool = False,
+    fold_mask: bool = False,
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,
 ):
@@ -732,8 +751,8 @@ def _packed_block_bwd_body(
             if seed_ref is not None and rate_a > 0 else None
         )
         av_all, hb_res = _win64_attention(
-            q_all, k_all, v_all, bias, mask, num_heads, dp, scale, return_res=True,
-            drop=drop_a,
+            q_all, k_all, v_all, bias, None if fold_mask else mask,
+            num_heads, dp, scale, return_res=True, drop=drop_a,
         )
         heads_p = None
     elif FUSED_HEAD_MATMULS:
@@ -912,10 +931,11 @@ def shift_pad_geometry(
     hw: Tuple[int, int], window: Tuple[int, int], shift: bool
 ) -> Tuple[int, int, int, int, int, int]:
     """Packed-layout geometry: :func:`pallas_attention.shift_pad_geometry` with the
-    window-column count rounded to an even pair count (two windows per register)."""
+    window-column count rounded to an even pair count (two windows per register)
+    and the row count rounded even (multi-row kernel tiles)."""
     from .pallas_attention import shift_pad_geometry as base
 
-    return base(hw, window, shift, even_cols=True)
+    return base(hw, window, shift, even_cols=True, even_rows=True)
 
 
 def pack_windows_cmajor(
@@ -1032,36 +1052,36 @@ def _packed_bias(bias: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _packed_bias_t(bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """(S, T, T) rel-pos bias -> (S, heads*TOK, LANES) for the transposed layout.
+def _packed_bias_t(bias: jnp.ndarray) -> jnp.ndarray:
+    """(S, T, T) rel-pos bias -> (S, TOK, LANES) for the transposed layout.
 
-    bias_t[s, h*TOK + j, w*TOK + i] = bias[s, i, j]: key-major rows (identical per
-    head block — the table is shared across heads, a001_WindowAttention.py:72-82),
-    packed-query lanes (identical per window slot). Differentiable jnp ops so the
+    bias_t[s, j, w*TOK + i] = bias[s, i, j] for real tokens, MASK_FILL at
+    pad-token rows/lanes (j or i >= T) — the shared part of the score mask is
+    folded in additively. Rows are identical for every head block (the table is
+    shared across heads, a001_WindowAttention.py:72-82) so the kernel applies this
+    untiled inside each per-head softmax slice. Differentiable jnp ops so the
     kernel's transposed bias cotangent maps back onto the (T, T) table."""
     s, t, _ = bias.shape
-    bt = jnp.zeros((s, TOK, TOK), bias.dtype).at[:, :t, :t].set(
-        jnp.swapaxes(bias, 1, 2)
-    )
-    one = jnp.concatenate([bt, bt], axis=2)          # (S, TOK, LANES)
-    return jnp.tile(one, (1, num_heads, 1))
+    bt = jnp.full((s, TOK, TOK), jnp.float32(MASK_FILL_VALUE), bias.dtype)
+    bt = bt.at[:, :t, :t].set(jnp.swapaxes(bias, 1, 2))
+    return jnp.concatenate([bt, bt], axis=2)         # (S, TOK, LANES)
 
 
 @functools.lru_cache(maxsize=None)
 def _packed_mask_t(
-    hw: Tuple[int, int], window: Tuple[int, int], shift: bool, num_heads: int
+    hw: Tuple[int, int], window: Tuple[int, int], shift: bool
 ) -> Tuple[np.ndarray, int]:
-    """:func:`_packed_mask` in the transposed layout: (n, heads*TOK, LANES) with
-    mask_t[p, h*TOK + j, w*TOK + i] = mask[p, w*TOK + i, w*TOK + j]. The
-    cross-window blocks vanish (each window's scores own their 64 lanes), leaving
-    only pad-token and edge-validity masking."""
+    """:func:`_packed_mask` in the compact transposed layout: (n, TOK, LANES) with
+    mask_t[p, j, w*TOK + i] = mask[p, w*TOK + i, w*TOK + j]. The cross-window
+    blocks vanish (each window's scores own their 64 lanes) and the rows are
+    head-independent, so the kernel applies this untiled per head slice — 8x less
+    mask DMA than a (heads*TOK, LANES) tiling, the measured per-pair mask cost."""
     full, n = _packed_mask(hw, window, shift)
     blocks = [
         np.swapaxes(full[:, w * TOK : (w + 1) * TOK, w * TOK : (w + 1) * TOK], 1, 2)
         for w in (0, 1)
     ]
-    one = np.concatenate(blocks, axis=2)             # (n, TOK, LANES)
-    return np.tile(one, (1, num_heads, 1)), n
+    return np.concatenate(blocks, axis=2), n         # (n, TOK, LANES)
 
 
 # ------------------------------------------------------------------- entry point
@@ -1165,11 +1185,14 @@ def pallas_packed_block_strips(
         return a.reshape(n * n_tiles, tile, c, LANES)
 
     if use_win64:
-        mask_np, mask_n = _packed_mask_t((h, w), window, shift, num_heads)
-        bias_p = _packed_bias_t(bias, num_heads)
+        mask_np, mask_n = _packed_mask_t((h, w), window, shift)
+        bias_p = _packed_bias_t(bias)  # pad-token mask pre-folded (additive)
     else:
         mask_np, mask_n = _packed_mask((h, w), window, shift)
         bias_p = _packed_bias(bias)
+    # all-interior win64 geometries need no mask input at all: the only masking
+    # left (pad tokens) is already folded into the bias
+    fold_mask = use_win64 and mask_n == 1
     bias_shape = tuple(bias_p.shape[1:])
     mask_inner = tuple(mask_np.shape[1:])
 
@@ -1252,7 +1275,7 @@ def pallas_packed_block_strips(
 
     static = dict(
         num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation,
-        win64=use_win64, drop_rates=drop_rates,
+        win64=use_win64, fold_mask=fold_mask, drop_rates=drop_rates,
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
@@ -1538,14 +1561,20 @@ def repartition_packed(
     npw_t = nw_t // 2
     terms = _repartition_matrices(window, from_shift, to_shift)
 
-    # zero halo so 2x2-neighbourhood reads at the borders contribute nothing
-    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    # zero halo so 2x2-neighbourhood reads at the borders contribute nothing.
+    # Row depth 2: with even-rounded row counts the target geometry can have up to
+    # two more (dummy) rows than the source (e.g. nh 2 -> 3 -> 4), and the dr=0/1
+    # slices then reach nh_f + 2 — real pixels never live there, only masked dummy
+    # positions read the halo. Pair columns gap by at most 1 (nw gaps by <= 2 and
+    # halves), so depth 1 suffices there.
+    hr, hc = 2, 1
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (hr, hr), (hc, hc), (0, 0), (0, 0)))
     out = None
     for dr, dj, m in terms:
         src = jax.lax.slice(
             xpad,
-            (0, 0, 1 + dr, 1 + dj, 0, 0),
-            (s, b, 1 + dr + nh_t, 1 + dj + npw_t, c, LANES),
+            (0, 0, hr + dr, hc + dj, 0, 0),
+            (s, b, hr + dr + nh_t, hc + dj + npw_t, c, LANES),
         )
         contrib = jnp.einsum(
             "sbrpcl,lm->sbrpcm",

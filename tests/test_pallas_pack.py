@@ -31,7 +31,9 @@ def test_pack_unpack_round_trip_odd_nw():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 1, 8, 21, 21), np.float32))  # nW=3 odd
     xp, (nh, npw, nw) = pack_windows_cmajor(x, (7, 7))
-    assert (nh, npw, nw) == (3, 2, 4)
+    # odd counts pad to a dummy masked column AND row (even pair columns for the
+    # 2-window lane packing; even rows for multi-row kernel tiles)
+    assert (nh, npw, nw) == (4, 2, 4)
     back = unpack_windows_cmajor(xp, (7, 7), (21, 21))
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
