@@ -1155,7 +1155,15 @@ def pallas_packed_block_strips(
     # contraction rows 64 -> heads*d (2.67x at stage 0, d=3). The per-head-loop
     # fallback still slices (heads*dp, 128) on sublanes and keeps the padding.
     dp = d if FUSED_HEAD_MATMULS else _dp_pad(d)
-    hd = w1.shape[-1]
+    # MLP hidden dim padded to the 8-sublane boundary: the reference's decoder
+    # stages use mlp_hidden = 4*in_dims (a013_ModelDefinition.py:196), which is 4
+    # at the outermost decoder stage — sub-8-sublane tensors force Mosaic
+    # relayouts (measured: stage-0 decoder blocks 25% slower than encoder's with
+    # hidden 96). Zero-padded hidden rows stay exactly zero through every
+    # activation (act(0) = 0), so outputs are unchanged; the outside jnp.pad maps
+    # the padded weight gradients back through autodiff.
+    hd = ((w1.shape[-1] + 7) // 8) * 8
+    hd_pad = hd - w1.shape[-1]
     # transposed half-size score maps need 8-aligned sublane slices/concats of the
     # (2*heads*dp, ·) block-diagonal operands
     use_win64 = WIN64_SCORES and FUSED_HEAD_MATMULS and (num_heads * dp) % 8 == 0
@@ -1486,8 +1494,9 @@ def pallas_packed_block_strips(
         t_wp(attn["wp"]), col(attn["bp"]),
         bias_p,
         col(ln2_scale), col(ln2_bias),
-        jnp.swapaxes(w1, -1, -2), col(b1),
-        jnp.swapaxes(w2, -1, -2), col(b2),
+        jnp.pad(jnp.swapaxes(w1, -1, -2), ((0, 0), (0, hd_pad), (0, 0))),
+        jnp.pad(col(b1), ((0, 0), (0, hd_pad), (0, 0))),
+        jnp.pad(jnp.swapaxes(w2, -1, -2), ((0, 0), (0, 0), (0, hd_pad))), col(b2),
         *((seed_arr,) if has_drop else ()),
     )
 
