@@ -61,6 +61,30 @@ def _depthwise_conv_nhwc(
     return out
 
 
+def _separable_gaussian_nhwc(
+    x: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray
+) -> jnp.ndarray:
+    """Depthwise Gaussian bank as two 1-D valid convs (exactly separable).
+
+    x: (B, H, W, C); kv: (size, 1, 1, C*mult) column pass (groups=C, mult outputs
+    per channel, contiguous per input channel); kh: (1, size, 1, C*mult) row pass
+    (groups=C*mult). The 2-D bank is ``outer(g, g)`` per sigma, so two 1-D passes
+    are the same operator with ~size/2 x fewer FLOPs — the 33-tap MS-SSIM bank ran
+    as 2-D 33x33 convs at 10.9 GFLOP each and dominated the measured train step
+    (six 41 ms fusions at 224^2 bs=20; docs/BENCHMARKS.md).
+    """
+    c = x.shape[-1]
+    mid = jax.lax.conv_general_dilated(
+        x, kv, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    return jax.lax.conv_general_dilated(
+        mid, kh, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mid.shape[-1],
+    )
+
+
 def _pad_zeros(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
 
@@ -73,6 +97,20 @@ def _ms_ssim_kernels(num_channels: int, sigmas: Tuple[float, ...]) -> np.ndarray
     ks = np.stack([gaussian_kernel_2d(size, s) for s in sigmas], axis=-1)  # (kh,kw,S)
     ks = np.tile(ks[:, :, None, :], (1, 1, 1, num_channels))  # (kh,kw,1,C*S)
     return ks.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _ms_ssim_kernels_1d(
+    num_channels: int, sigmas: Tuple[float, ...]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Separable form of :func:`_ms_ssim_kernels`: column pass (size, 1, 1, C*S)
+    with groups=C, row pass (1, size, 1, C*S) with groups=C*S."""
+    size = int(4 * sigmas[-1] + 1)
+    g = np.stack([gaussian_kernel_1d(size, s) for s in sigmas], axis=-1)  # (size, S)
+    bank = np.tile(g, (1, num_channels))  # (size, C*S), same slot order as the 2-D bank
+    kv = bank[:, None, None, :].astype(np.float32)   # (size, 1, 1, C*S)
+    kh = bank[None, :, None, :].astype(np.float32)   # (1, size, 1, C*S)
+    return kv, kh
 
 
 def ms_ssim_l1_loss(
@@ -104,7 +142,7 @@ def ms_ssim_l1_loss(
         raise ValueError(
             f"kornia's grouped MS-SSIM mask bank supports C in (1, 3); got C={c}"
         )
-    kernels = jnp.asarray(_ms_ssim_kernels(c, tuple(sigmas)))
+    kv, kh = (jnp.asarray(a) for a in _ms_ssim_kernels_1d(c, tuple(sigmas)))
     pad = int(2 * sigmas[-1])
     c1 = (k[0] * data_range) ** 2
     c2 = (k[1] * data_range) ** 2
@@ -113,12 +151,13 @@ def ms_ssim_l1_loss(
     y = _pad_zeros(img2.astype(jnp.float32), pad)
 
     # all filtered maps: (B, H, W, C*n_s), channel-major grouping (c0s0, c0s1, ..)
-    mux = _depthwise_conv_nhwc(x, kernels, "VALID")
-    muy = _depthwise_conv_nhwc(y, kernels, "VALID")
+    blur = lambda a: _separable_gaussian_nhwc(a, kv, kh)
+    mux = blur(x)
+    muy = blur(y)
     mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
-    sigmax2 = _depthwise_conv_nhwc(x * x, kernels, "VALID") - mux2
-    sigmay2 = _depthwise_conv_nhwc(y * y, kernels, "VALID") - muy2
-    sigmaxy = _depthwise_conv_nhwc(x * y, kernels, "VALID") - muxy
+    sigmax2 = blur(x * x) - mux2
+    sigmay2 = blur(y * y) - muy2
+    sigmaxy = blur(x * y) - muxy
 
     l_map = (2.0 * muxy + c1) / (mux2 + muy2 + c1)  # luminance per (channel, scale)
     cs_map = (2.0 * sigmaxy + c2) / (sigmax2 + sigmay2 + c2)
@@ -142,8 +181,10 @@ def ms_ssim_l1_loss(
     # channel j // (3 // C), averaged (for C=1: three identical maps)
     l1 = jnp.abs(img1.astype(jnp.float32) - img2.astype(jnp.float32))
     # the coarsest-sigma mask for each input channel (out channel ch*n_s + n_s-1)
-    largest = kernels[..., np.arange(c) * n_s + (n_s - 1)]  # (kh, kw, 1, C)
-    smoothed = _depthwise_conv_nhwc(_pad_zeros(l1, pad), largest, "VALID")  # (B,H,W,C)
+    sel = np.arange(c) * n_s + (n_s - 1)
+    smoothed = _separable_gaussian_nhwc(
+        _pad_zeros(l1, pad), kv[..., sel], kh[..., sel]
+    )  # (B, H, W, C)
     l1_ch = np.arange(3) // (3 // c)
     gaussian_l1 = smoothed[..., l1_ch].mean(-1)
 
@@ -155,6 +196,18 @@ def ms_ssim_l1_loss(
 def _ssim_kernel(num_channels: int, window_size: int, sigma: float) -> np.ndarray:
     k2 = gaussian_kernel_2d(window_size, sigma)
     return np.tile(k2[:, :, None, None], (1, 1, 1, num_channels)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _ssim_kernel_1d(
+    num_channels: int, window_size: int, sigma: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    g = gaussian_kernel_1d(window_size, sigma)
+    bank = np.tile(g[:, None], (1, num_channels))
+    return (
+        bank[:, None, None, :].astype(np.float32),  # (size, 1, 1, C)
+        bank[None, :, None, :].astype(np.float32),  # (1, size, 1, C)
+    )
 
 
 def ssim_index(
@@ -174,7 +227,7 @@ def ssim_index(
     input resolution); ``padding='valid'`` crops the border instead.
     """
     c = img1.shape[-1]
-    kernel = jnp.asarray(_ssim_kernel(c, window_size, sigma))
+    kv, kh = (jnp.asarray(a) for a in _ssim_kernel_1d(c, window_size, sigma))
     c1 = (k[0] * max_val) ** 2
     c2 = (k[1] * max_val) ** 2
 
@@ -184,12 +237,13 @@ def ssim_index(
     x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
     y = jnp.pad(y, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
 
-    mux = _depthwise_conv_nhwc(x, kernel, "VALID")
-    muy = _depthwise_conv_nhwc(y, kernel, "VALID")
+    blur = lambda a: _separable_gaussian_nhwc(a, kv, kh)
+    mux = blur(x)
+    muy = blur(y)
     mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
-    sigmax2 = _depthwise_conv_nhwc(x * x, kernel, "VALID") - mux2
-    sigmay2 = _depthwise_conv_nhwc(y * y, kernel, "VALID") - muy2
-    sigmaxy = _depthwise_conv_nhwc(x * y, kernel, "VALID") - muxy
+    sigmax2 = blur(x * x) - mux2
+    sigmay2 = blur(y * y) - muy2
+    sigmaxy = blur(x * y) - muxy
 
     ssim_map = ((2.0 * muxy + c1) * (2.0 * sigmaxy + c2)) / (
         (mux2 + muy2 + c1) * (sigmax2 + sigmay2 + c2)
