@@ -61,6 +61,43 @@ def _depthwise_conv_nhwc(
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _band_matrices(
+    bank_key: Tuple[Tuple[float, ...], ...], h: int, w: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Band matrices for the separable blur as MXU matmuls.
+
+    bank_key: tuple of per-slot 1-D kernels (each a tuple of taps, length=size).
+    Returns BH (M, h+size-1, h) and BW (M, w+size-1, w) with
+    B[m, p, u] = bank[m][p - u] — einsum-contracting the padded axis against
+    these computes the same VALID conv. 4x the FLOPs of the 1-D convs but at
+    MXU speed instead of the ~220 GFLOP/s XLA manages on 5-lane-wide depthwise
+    convs (measured: the conv form was still ~25 ms of the 206 ms train step).
+    """
+    bank = np.asarray(bank_key, np.float32)  # (M, size)
+    m, size = bank.shape
+
+    def band(n_out):
+        b = np.zeros((m, n_out + size - 1, n_out), np.float32)
+        for d in range(size):
+            idx = np.arange(n_out)
+            b[:, idx + d, idx] = bank[:, d : d + 1]
+        return b
+
+    return band(h), band(w)
+
+
+def _gaussian_band_nhwc(x: jnp.ndarray, bank: np.ndarray, out_hw) -> jnp.ndarray:
+    """Separable blur via band-matrix einsums. x: (B, Hp, Wp, M) padded, one slot
+    per channel; bank: (size, M) per-slot taps; returns (B, H, W, M)."""
+    h, w = out_hw
+    key = tuple(tuple(float(v) for v in bank[:, m]) for m in range(bank.shape[1]))
+    bh, bw = _band_matrices(key, h, w)
+    hi = jax.lax.Precision.HIGHEST
+    mid = jnp.einsum("bhwm,mhu->buwm", x, jnp.asarray(bh), precision=hi)
+    return jnp.einsum("buwm,mwv->buvm", mid, jnp.asarray(bw), precision=hi)
+
+
 def _separable_gaussian_nhwc(
     x: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray
 ) -> jnp.ndarray:
@@ -142,16 +179,19 @@ def ms_ssim_l1_loss(
         raise ValueError(
             f"kornia's grouped MS-SSIM mask bank supports C in (1, 3); got C={c}"
         )
-    kv, kh = (jnp.asarray(a) for a in _ms_ssim_kernels_1d(c, tuple(sigmas)))
+    kv, _ = _ms_ssim_kernels_1d(c, tuple(sigmas))
+    bank = kv[:, 0, 0, :]  # (size, C*S) per-slot taps
     pad = int(2 * sigmas[-1])
     c1 = (k[0] * data_range) ** 2
     c2 = (k[1] * data_range) ** 2
 
+    hw_out = img1.shape[1:3]
+    slot_channels = np.arange(c * n_s) // n_s  # channel-major slot grouping
     x = _pad_zeros(img1.astype(jnp.float32), pad)
     y = _pad_zeros(img2.astype(jnp.float32), pad)
 
     # all filtered maps: (B, H, W, C*n_s), channel-major grouping (c0s0, c0s1, ..)
-    blur = lambda a: _separable_gaussian_nhwc(a, kv, kh)
+    blur = lambda a: _gaussian_band_nhwc(a[..., slot_channels], bank, hw_out)
     mux = blur(x)
     muy = blur(y)
     mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
@@ -182,8 +222,8 @@ def ms_ssim_l1_loss(
     l1 = jnp.abs(img1.astype(jnp.float32) - img2.astype(jnp.float32))
     # the coarsest-sigma mask for each input channel (out channel ch*n_s + n_s-1)
     sel = np.arange(c) * n_s + (n_s - 1)
-    smoothed = _separable_gaussian_nhwc(
-        _pad_zeros(l1, pad), kv[..., sel], kh[..., sel]
+    smoothed = _gaussian_band_nhwc(
+        _pad_zeros(l1, pad), bank[:, sel], hw_out
     )  # (B, H, W, C)
     l1_ch = np.arange(3) // (3 // c)
     gaussian_l1 = smoothed[..., l1_ch].mean(-1)
@@ -227,6 +267,9 @@ def ssim_index(
     input resolution); ``padding='valid'`` crops the border instead.
     """
     c = img1.shape[-1]
+    # separable 1-D convs (not the band-matmul form): the MXU's f32 accumulation
+    # order drifts ~1.2e-5 relative on the division-heavy single-scale map, past
+    # the 1e-5 golden bar; the 11-tap convs are cheap enough anyway
     kv, kh = (jnp.asarray(a) for a in _ssim_kernel_1d(c, window_size, sigma))
     c1 = (k[0] * max_val) ** 2
     c2 = (k[1] * max_val) ** 2
