@@ -294,3 +294,66 @@ def test_total_loss_matches_reference_single_scale_and_canny(rng, monkeypatch):
         np.testing.assert_allclose(
             float(terms[key]), ref_terms[key], rtol=1e-4, atol=1e-4
         ), key
+
+
+def test_ms_ssim_band_matmul_equals_conv_form(rng):
+    """The band-matrix einsum blur (the TPU fast path) is bitwise-equal on CPU to
+    the depthwise-conv formulation it replaced, at even/odd/large sizes — the
+    band matrices are an exact re-expression of the same VALID correlation."""
+    from swin_unet_image_fusion_tpu.ops.ssim import (
+        DEFAULT_MS_SIGMAS,
+        _depthwise_conv_nhwc,
+        _ms_ssim_kernels,
+        _pad_zeros,
+        ms_ssim_l1_loss,
+    )
+
+    for hw in [(33, 33), (64, 48), (100, 90)]:
+        x = jnp.asarray(rng.random((2, *hw, 1)).astype(np.float32))
+        y = jnp.asarray(rng.random((2, *hw, 1)).astype(np.float32))
+        got = float(ms_ssim_l1_loss(x, y))
+
+        # reference: same loss computed with the 2-D grouped-conv bank
+        kernels = jnp.asarray(_ms_ssim_kernels(1, DEFAULT_MS_SIGMAS))
+        pad = int(2 * DEFAULT_MS_SIGMAS[-1])
+        blur = lambda a: _depthwise_conv_nhwc(_pad_zeros(a, pad), kernels, "VALID")
+        mux, muy = blur(x), blur(y)
+        mux2, muy2, muxy = mux * mux, muy * muy, mux * muy
+        sx2 = blur(x * x) - mux2
+        sy2 = blur(y * y) - muy2
+        sxy = blur(x * y) - muxy
+        c1, c2 = 0.01**2, 0.03**2
+        l_map = (2 * muxy + c1) / (mux2 + muy2 + c1)
+        cs_map = (2 * sxy + c2) / (sx2 + sy2 + c2)
+        lm = jnp.prod(l_map[..., 2:], axis=-1)  # 3 coarsest of 5 slots (C=1: cubed)
+        pics = jnp.prod(cs_map, axis=-1) ** 3   # product over all 3*n_s slots
+        loss_ms = 1.0 - lm * pics
+        l1 = jnp.abs(x - y)
+        smoothed = _depthwise_conv_nhwc(
+            _pad_zeros(l1, pad), kernels[..., 4:5], "VALID"
+        )[..., 0]
+        want = float(200.0 * (0.025 * loss_ms + 0.975 * smoothed).mean())
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_win64_odd_heads_fallback_matches_jnp():
+    """num_heads*d not divisible by 8 falls back to the 128-lane head-batched
+    layout — parity must hold there too."""
+    from swin_unet_image_fusion_tpu.models.layers import BasicBlock
+
+    rng2 = np.random.default_rng(3)
+    s, b, c, heads, d = 2, 1, 24, 3, 3  # ip=9: not 8-aligned -> no win64
+    h, w = 14, 14
+    x = jnp.asarray(rng2.random((s, b, h, w, c), np.float32))
+    kw = dict(
+        streams=s, dims=c, num_heads=heads, dims_per_head=d,
+        window_size=(7, 7), shift=True, cross=True, mlp_hidden_dims=4 * c,
+    )
+    ref = BasicBlock(impl="jnp", **kw)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    out_ref = ref.apply(params, x)
+    packed = BasicBlock(impl="pallas_pack_interpret", packed=True, **kw)
+    out_pk = jnp.moveaxis(packed.apply(params, jnp.moveaxis(x, -1, 2)), 2, -1)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
