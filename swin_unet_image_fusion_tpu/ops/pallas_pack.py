@@ -1155,14 +1155,15 @@ def pallas_packed_block_strips(
     # contraction rows 64 -> heads*d (2.67x at stage 0, d=3). The per-head-loop
     # fallback still slices (heads*dp, 128) on sublanes and keeps the padding.
     dp = d if FUSED_HEAD_MATMULS else _dp_pad(d)
-    # MLP hidden dim padded to the 8-sublane boundary: the reference's decoder
+    # MLP hidden dim padded to at least 32 sublanes: the reference's decoder
     # stages use mlp_hidden = 4*in_dims (a013_ModelDefinition.py:196), which is 4
-    # at the outermost decoder stage — sub-8-sublane tensors force Mosaic
-    # relayouts (measured: stage-0 decoder blocks 25% slower than encoder's with
-    # hidden 96). Zero-padded hidden rows stay exactly zero through every
+    # at the outermost decoder stage, and Mosaic handles hidden sizes <= 16 badly
+    # (measured at stage-0 geometry: 381/384 ns/pair for hd=8/16 vs 286 at hd=32
+    # and 307 at the encoder's real 96 — the kernel gets FASTER with 4x the MLP
+    # FLOPs). Zero-padded hidden rows stay exactly zero through every supported
     # activation (act(0) = 0), so outputs are unchanged; the outside jnp.pad maps
     # the padded weight gradients back through autodiff.
-    hd = ((w1.shape[-1] + 7) // 8) * 8
+    hd = max(32, ((w1.shape[-1] + 7) // 8) * 8)
     hd_pad = hd - w1.shape[-1]
     # transposed half-size score maps need 8-aligned sublane slices/concats of the
     # (2*heads*dp, ·) block-diagonal operands
