@@ -1340,7 +1340,7 @@ def pallas_packed_block_strips(
             )
             if drop_rates[0]:
                 per_pair += 3 * hk * LANES * 4
-            budget = 48 << 20
+            budget = 80 << 20
             f_b = next(
                 (
                     f
