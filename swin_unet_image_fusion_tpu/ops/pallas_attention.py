@@ -103,6 +103,42 @@ def shift_pad_geometry(
     return top, left, hp, wp, nh, nw
 
 
+# Wrap-roll shifted windows for the NHWC kernel path (the reference's torch.roll
+# formulation): when the map is window-multiple (always true for in-model stage
+# maps, ops/shape_plan.py), the shifted partition cyclically rolls the map by
+# (top, left) instead of zero-padding it — the window grid stays at the unshifted
+# counts (e.g. 16 vs 25 windows at 28^2, 4 vs 9 at 14^2: the padded partition adds
+# a window row AND column), and the wrap seams are masked by the classic
+# same-region-only masks (:func:`_wrap_region_mask`). Mathematically identical to
+# the padded partition (see :func:`shift_pad_geometry`); module flag for A/B.
+WRAP_SHIFT = True
+
+
+@functools.lru_cache(maxsize=None)
+def _wrap_region_mask(hw: Tuple[int, int], window: Tuple[int, int]) -> np.ndarray:
+    """(nWin, T, T) int8 same-region mask for the wrap-rolled shifted partition.
+
+    After rolling by (+top, +left), grid row/column 0 hold the wrap seams: in-window
+    rows < top (columns < left) wrapped from the opposite edge. Tokens attend only
+    within their own (row-region, col-region) cell — the reference's wrap masking
+    (a001_WindowAttention.py:274-315) with the regions reduced to the seam split."""
+    h, w = hw
+    wh, ww = window
+    t = wh * ww
+    top = wh - wh // 2
+    left = ww - ww // 2
+    n_rows, n_w = h // wh, w // ww
+    out = np.zeros((n_rows * n_w, t, t), np.int8)
+    for r in range(n_rows):
+        rreg = np.repeat(r * wh + np.arange(wh) < top, ww)
+        for cidx in range(n_w):
+            creg = np.tile(cidx * ww + np.arange(ww) < left, wh)
+            out[r * n_w + cidx] = (rreg[:, None] != rreg[None, :]) | (
+                creg[:, None] != creg[None, :]
+            )
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _shift_edge_mask(hw: Tuple[int, int], window: Tuple[int, int]) -> np.ndarray:
     """(nWin, T, T) int8 mask of the zero-padded edge tokens in the roll-free
@@ -521,7 +557,19 @@ def pallas_window_attention(
     wh, ww = window
     t = wh * ww
     tp = _padded_t(t)
-    top, left, h, w, n_rows, n_w = shift_pad_geometry((orig_h, orig_w), window, shift)
+    # wrap-roll shifted partition: only for window-multiple maps (in-model stage
+    # maps always are); other sizes keep the zero-padded partition
+    wrap = WRAP_SHIFT and shift and orig_h % wh == 0 and orig_w % ww == 0
+    if wrap:
+        top, left, *_ = shift_pad_geometry((orig_h, orig_w), window, True)
+        h, w = orig_h, orig_w
+        n_rows, n_w = h // wh, w // ww
+        # outside the custom_vjp core: autodiff rolls the cotangent back
+        x = jnp.roll(x, (top, left), axis=(2, 3))
+    else:
+        top, left, h, w, n_rows, n_w = shift_pad_geometry(
+            (orig_h, orig_w), window, shift
+        )
     if (h, w) != (orig_h, orig_w):
         # zero-pad for the shifted partition; autodiff handles the pad/crop outside
         # the custom_vjp core, and the edge mask hides the pad tokens
@@ -547,7 +595,10 @@ def pallas_window_attention(
     n_tiles = n_rows // r_t
     wt = r_t * n_w  # windows per grid step
 
-    edge_mask = _shift_edge_mask((orig_h, orig_w), window) if shift else None
+    if wrap:
+        edge_mask = _wrap_region_mask((orig_h, orig_w), window)
+    else:
+        edge_mask = _shift_edge_mask((orig_h, orig_w), window) if shift else None
     mask_np, mask_nwin = _full_mask(edge_mask, t, tp)
 
     # rel-pos bias padded to (S, TP, TP)
@@ -745,6 +796,8 @@ def pallas_window_attention(
         (x,), wq, bq, wk, bk, wv, bv, wp, bp, bias_p,
         *((seed_arr,) if has_drop else ()),
     )
-    if (h, w) != (orig_h, orig_w):
+    if wrap:
+        out = jnp.roll(out, (-top, -left), axis=(2, 3))
+    elif (h, w) != (orig_h, orig_w):
         out = out[:, :, top : top + orig_h, left : left + orig_w, :]
     return out

@@ -71,6 +71,38 @@ FUSED_HEAD_MATMULS = True
 # for A/B benchmarking.
 WIN64_SCORES = True
 
+# Wrap-roll shifted windows (the reference's torch.roll formulation, rolled over the
+# window-multiple extent): the shifted geometry keeps the UNSHIFTED window grid —
+# (top, left) become cyclic roll amounts instead of zero-pad amounts, and the wrap
+# seams are handled by classic region masks (same-region-only attention) plus
+# wrapped halo reads in :func:`repartition_packed`. The round-1 roll-free padded
+# partition is mathematically identical (proof sketch in
+# pallas_attention.shift_pad_geometry) but adds a window row AND column per shifted
+# block (e.g. 100 vs 64 window slots at 56^2 — the measured 1.57x shifted-backward
+# cost at the 224^2 training shapes). Module flag for A/B benchmarking; the actual
+# per-geometry choice is :func:`use_wrap` — wrap only where it strictly reduces the
+# window-slot count, because where it doesn't (e.g. every 512^2 stage map: 256/7
+# pads to the same even-rounded grid either way) the pack/unpack rolls and wrap
+# halos are pure cost (measured -6% on 512^2 inference when forced on).
+WRAP_SHIFT = True
+
+
+@functools.lru_cache(maxsize=None)
+def _wrap_profitable(hw: Tuple[int, int], window: Tuple[int, int]) -> bool:
+    """True when the wrap-roll shifted partition has strictly fewer even-rounded
+    window slots than the zero-padded one for this (map, window) geometry."""
+    from .pallas_attention import shift_pad_geometry as base
+
+    *_, nh_p, nw_p = base(hw, window, True, even_cols=True, even_rows=True)
+    *_, nh_u, nw_u = base(hw, window, False, even_cols=True, even_rows=True)
+    return nh_p * nw_p > nh_u * nw_u
+
+
+def use_wrap(hw: Tuple[int, int], window: Tuple[int, int], shift: bool) -> bool:
+    """Whether this shifted geometry uses the wrap-roll formulation (all pack /
+    mask / repartition sites must agree, and do: each calls this)."""
+    return WRAP_SHIFT and shift and _wrap_profitable(hw, window)
+
 
 def _dp_pad(d: int) -> int:
     """Per-head dim padded to the 8-sublane boundary."""
@@ -932,10 +964,31 @@ def shift_pad_geometry(
 ) -> Tuple[int, int, int, int, int, int]:
     """Packed-layout geometry: :func:`pallas_attention.shift_pad_geometry` with the
     window-column count rounded to an even pair count (two windows per register)
-    and the row count rounded even (multi-row kernel tiles)."""
+    and the row count rounded even (multi-row kernel tiles).
+
+    With :data:`WRAP_SHIFT`, the shifted geometry keeps the unshifted grid:
+    (nh, nw) equal the ``shift=False`` counts and (top, left) are cyclic ROLL
+    amounts over the window-multiple extents (see :func:`_wrap_extent`), not pad
+    amounts. Rolling by (top, left) places every original pixel at exactly the
+    in-window position the padded formulation gives it (both extents are window
+    multiples), so masks/bias/repartition in-window algebra is shared; only the
+    out-of-grid indexing (wrap instead of zero halo) differs.
+    """
     from .pallas_attention import shift_pad_geometry as base
 
+    if use_wrap(hw, window, shift):
+        top, left, *_ = base(hw, window, True)
+        _, _, hp, wp, nh, nw = base(hw, window, False, even_cols=True, even_rows=True)
+        return top, left, hp, wp, nh, nw
     return base(hw, window, shift, even_cols=True, even_rows=True)
+
+
+def _wrap_extent(hw: Tuple[int, int], window: Tuple[int, int]) -> Tuple[int, int]:
+    """Real window-multiple extents (h, w rounded up) the wrap roll cycles over —
+    excludes the dummy even-rounding windows, which hold no real data."""
+    h, w = hw
+    wh, ww = window
+    return h + (-h) % wh, w + (-w) % ww
 
 
 def pack_windows_cmajor(
@@ -952,7 +1005,16 @@ def pack_windows_cmajor(
     wh, ww = window
     t = wh * ww
     top, left, hp, wp, nh, nw = shift_pad_geometry((h, w), window, shift)
-    if top or left or hp > top + h or wp > left + w:
+    if use_wrap((h, w), window, shift):
+        # pad the real data to the window-multiple extent, roll cyclically over it,
+        # then pad the dummy even-rounding windows (masked, never unpacked)
+        hp0, wp0 = _wrap_extent((h, w), window)
+        if hp0 > h or wp0 > w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, hp0 - h), (0, wp0 - w)))
+        x = jnp.roll(x, (top, left), axis=(3, 4))
+        if hp > hp0 or wp > wp0:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, hp - hp0), (0, wp - wp0)))
+    elif top or left or hp > top + h or wp > left + w:
         x = jnp.pad(
             x,
             ((0, 0), (0, 0), (0, 0), (top, hp - top - h), (left, wp - left - w)),
@@ -984,24 +1046,34 @@ def unpack_windows_cmajor(
     # inverse of (0,1,3,5,2,6,4,7)
     xp = xp.transpose(0, 1, 4, 2, 6, 3, 5, 7)
     xp = xp.reshape(s, b, c, nh * wh, np_w * 2 * ww)
+    if use_wrap((h, w), window, shift):
+        hp0, wp0 = _wrap_extent((h, w), window)
+        xp = jnp.roll(xp[..., :hp0, :wp0], (-top, -left), axis=(3, 4))
+        return xp[..., :h, :w]
     return xp[..., top : top + h, left : left + w]
 
 
 @functools.lru_cache(maxsize=None)
 def _packed_mask(
-    hw: Tuple[int, int], window: Tuple[int, int], shift: bool
+    hw: Tuple[int, int], window: Tuple[int, int], shift: bool, wrap: bool
 ) -> Tuple[np.ndarray, int]:
     """(nPairs or 1, 128, 128) int8 mask: cross-window blocks, token padding, and —
-    in the roll-free shifted partition — the zero-padded edge/dummy positions.
+    for the shifted partition — edge/seam masking.
 
-    With the roll-free scheme (see :func:`shift_pad_geometry`) the reference's
-    wrap-region masking reduces to masking invalid (padded) tokens: regions that the
-    rolled formulation keeps apart inside one wrap window live in separate windows
-    here, so no intra-window region mask is needed."""
+    Roll-free mode (``wrap=False``): the reference's wrap-region masking reduces to
+    masking invalid (zero-padded) tokens — regions the rolled formulation keeps
+    apart inside one wrap window live in separate windows there.
+
+    Wrap mode (``wrap=True``, :data:`WRAP_SHIFT`): the classic swin region masks —
+    the seam windows (grid row/column 0 after the +(top, left) roll) contain tokens
+    wrapped from the opposite edge; tokens attend only within their own
+    (row-region, col-region) cell, plus validity masking of any window-pad
+    positions beyond the real (h, w)."""
     h, w = hw
     wh, ww = window
     t = wh * ww
     top, left, hp, wp, nh, nw = shift_pad_geometry(hw, window, shift)
+    wrap = wrap and shift
 
     # fully masked except each window's own (T, T) block; pad tokens masked within it
     base = np.ones((LANES, LANES), np.int8)
@@ -1011,33 +1083,55 @@ def _packed_mask(
         blk[t:, :] = 1  # pad-token queries
         base[o : o + TOK, o : o + TOK] = blk
 
-    # validity of each in-window token per window row / column
-    def row_valid(r):  # (wh,) bool: does window-row r, in-window row i hold real data
-        rows = r * wh + np.arange(wh)
-        return (rows >= top) & (rows < top + h)
+    if wrap:
+        hp0, wp0 = _wrap_extent(hw, window)
 
-    def col_valid(c):
-        cols = c * ww + np.arange(ww)
-        return (cols >= left) & (cols < left + w)
+        def row_info(r):  # validity + wrap-region id of each in-window row
+            rows = r * wh + np.arange(wh)
+            valid = (rows < hp0) & ((rows - top) % hp0 < h)
+            return valid, rows < top
 
-    all_valid = all(row_valid(r).all() for r in (0, nh - 1)) and all(
-        col_valid(c).all() for c in (0, nw - 1)
-    )
-    if all_valid:
-        return base[None], 1
+        def col_info(c):
+            cols = c * ww + np.arange(ww)
+            valid = (cols < wp0) & ((cols - left) % wp0 < w)
+            return valid, cols < left
+
+    else:
+
+        def row_info(r):
+            rows = r * wh + np.arange(wh)
+            return (rows >= top) & (rows < top + h), np.zeros(wh, bool)
+
+        def col_info(c):
+            cols = c * ww + np.arange(ww)
+            return (cols >= left) & (cols < left + w), np.zeros(ww, bool)
+
+        all_valid = all(row_info(r)[0].all() for r in (0, nh - 1)) and all(
+            col_info(c)[0].all() for c in (0, nw - 1)
+        )
+        if all_valid:
+            return base[None], 1
 
     n_pairs = nh * (nw // 2)
     full = np.empty((n_pairs, LANES, LANES), np.int8)
     p = 0
     for r in range(nh):
-        rv = row_valid(r)
+        rv, rreg = row_info(r)
         for j in range(nw // 2):
             m = base.copy()
             for slot, col in ((0, 2 * j), (1, 2 * j + 1)):
                 o = slot * TOK
-                tok_valid = (rv[:, None] & col_valid(col)[None, :]).reshape(t)
+                cv, creg = col_info(col)
+                tok_valid = (rv[:, None] & cv[None, :]).reshape(t)
                 bad = ~tok_valid
                 m[o : o + t, o : o + t] |= bad[None, :] | bad[:, None]
+                if wrap:
+                    # same-region-only attention across the wrap seams
+                    treg_r = np.repeat(rreg, ww)
+                    treg_c = np.tile(creg, wh)
+                    m[o : o + t, o : o + t] |= (
+                        treg_r[:, None] != treg_r[None, :]
+                    ) | (treg_c[:, None] != treg_c[None, :])
             full[p] = m
             p += 1
     return full, n_pairs
@@ -1069,14 +1163,14 @@ def _packed_bias_t(bias: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _packed_mask_t(
-    hw: Tuple[int, int], window: Tuple[int, int], shift: bool
+    hw: Tuple[int, int], window: Tuple[int, int], shift: bool, wrap: bool
 ) -> Tuple[np.ndarray, int]:
     """:func:`_packed_mask` in the compact transposed layout: (n, TOK, LANES) with
     mask_t[p, j, w*TOK + i] = mask[p, w*TOK + i, w*TOK + j]. The cross-window
     blocks vanish (each window's scores own their 64 lanes) and the rows are
     head-independent, so the kernel applies this untiled per head slice — 8x less
     mask DMA than a (heads*TOK, LANES) tiling, the measured per-pair mask cost."""
-    full, n = _packed_mask(hw, window, shift)
+    full, n = _packed_mask(hw, window, shift, wrap)
     blocks = [
         np.swapaxes(full[:, w * TOK : (w + 1) * TOK, w * TOK : (w + 1) * TOK], 1, 2)
         for w in (0, 1)
@@ -1193,11 +1287,12 @@ def pallas_packed_block_strips(
     def to_strips(a):  # (S, B, nH, nPw, C, 128) -> (n*n_tiles, TILE, C, 128)
         return a.reshape(n * n_tiles, tile, c, LANES)
 
+    wrap = use_wrap((h, w), window, shift)
     if use_win64:
-        mask_np, mask_n = _packed_mask_t((h, w), window, shift)
+        mask_np, mask_n = _packed_mask_t((h, w), window, shift, wrap)
         bias_p = _packed_bias_t(bias)  # pad-token mask pre-folded (additive)
     else:
-        mask_np, mask_n = _packed_mask((h, w), window, shift)
+        mask_np, mask_n = _packed_mask((h, w), window, shift, wrap)
         bias_p = _packed_bias(bias)
     # all-interior win64 geometries need no mask input at all: the only masking
     # left (pad tokens) is already folded into the bias
@@ -1571,14 +1666,62 @@ def repartition_packed(
     npw_t = nw_t // 2
     terms = _repartition_matrices(window, from_shift, to_shift)
 
-    # zero halo so 2x2-neighbourhood reads at the borders contribute nothing.
-    # Row depth 2: with even-rounded row counts the target geometry can have up to
-    # two more (dummy) rows than the source (e.g. nh 2 -> 3 -> 4), and the dr=0/1
-    # slices then reach nh_f + 2 — real pixels never live there, only masked dummy
-    # positions read the halo. Pair columns gap by at most 1 (nw gaps by <= 2 and
-    # halves), so depth 1 suffices there.
-    hr, hc = 2, 1
-    xpad = jnp.pad(xp, ((0, 0), (0, 0), (hr, hr), (hc, hc), (0, 0), (0, 0)))
+    if use_wrap(hw, window, from_shift or to_shift):
+        # Wrap mode: both geometries share the unshifted grid, |dr|, |dj| <= 1, and
+        # out-of-grid neighbourhood reads WRAP over the real window rows/columns
+        # (the cyclic roll's seams). The selector matrices are unchanged — rolling
+        # preserves every in-window offset — so the wrap is entirely in the halo:
+        # row halos are the opposite-edge real rows; column halos are assembled in
+        # window-column space (a halo PAIR holds two window columns, which for odd
+        # real column counts live in different source pairs/slots), and an odd
+        # count's dummy slot in the last real pair is pre-filled with wrap column 0
+        # (the dj=0 slot-1 read of target column nw_real-1). Dummy even-rounding
+        # rows/pairs are excluded from the wrap cycle (no real data), and dummy
+        # TARGETS may read garbage — they are masked in attention and never
+        # unpacked, exactly like the pad mode's halo reads.
+        hp0, wp0 = _wrap_extent(hw, window)
+        wh, ww = window
+        nh_real, nw_real = hp0 // wh, wp0 // ww
+
+        def col_strip(wc):  # window-column wc (mod real cols) as a TOK-lane strip
+            pair, slot = divmod(wc % nw_real, 2)
+            return xp[:, :, :, pair : pair + 1, :, slot * TOK : (slot + 1) * TOK]
+
+        def halo_pair(wc0):  # halo pair holding window columns (wc0, wc0 + 1)
+            return jnp.concatenate([col_strip(wc0), col_strip(wc0 + 1)], axis=-1)
+
+        cols = [halo_pair(-2)]
+        if nw_real % 2:
+            last_p = (nw_real - 1) // 2
+            filled = jnp.concatenate(
+                [xp[:, :, :, last_p : last_p + 1, :, :TOK], col_strip(nw_real)],
+                axis=-1,
+            )
+            cols += [xp[:, :, :, :last_p], filled, xp[:, :, :, last_p + 1 :]]
+        else:
+            cols += [xp]
+        cols += [halo_pair(2 * npw_f)]
+        xc = jnp.concatenate(cols, axis=3)
+
+        zeros_rows = nh_t - nh_real
+        rows = [
+            xc[:, :, nh_real - 1 : nh_real],
+            xc[:, :, :nh_real],
+            xc[:, :, 0:1],
+        ]
+        if zeros_rows > 0:
+            rows.append(jnp.zeros((s, b, zeros_rows, *xc.shape[3:]), xc.dtype))
+        xpad = jnp.concatenate(rows, axis=2)
+        hr, hc = 1, 1
+    else:
+        # zero halo so 2x2-neighbourhood reads at the borders contribute nothing.
+        # Row depth 2: with even-rounded row counts the target geometry can have up
+        # to two more (dummy) rows than the source (e.g. nh 2 -> 3 -> 4), and the
+        # dr=0/1 slices then reach nh_f + 2 — real pixels never live there, only
+        # masked dummy positions read the halo. Pair columns gap by at most 1 (nw
+        # gaps by <= 2 and halves), so depth 1 suffices there.
+        hr, hc = 2, 1
+        xpad = jnp.pad(xp, ((0, 0), (0, 0), (hr, hr), (hc, hc), (0, 0), (0, 0)))
     out = None
     for dr, dj, m in terms:
         src = jax.lax.slice(

@@ -299,3 +299,46 @@ def test_repartition_is_linear_and_differentiable():
     g = jax.grad(f)(xp)
     g_real = unpack_windows_cmajor(g, (7, 7), hw, False)
     np.testing.assert_allclose(np.asarray(g_real), 1.0)
+
+
+@pytest.mark.parametrize("wrap", [False, True])
+def test_shift_modes_both_match_jnp(monkeypatch, wrap):
+    """The wrap-roll shifted partition (WRAP_SHIFT, reference torch.roll semantics
+    with classic region masks) and the legacy roll-free zero-padded partition both
+    reproduce the jnp oracle — block outputs AND the repartition round trip."""
+    from swin_unet_image_fusion_tpu.ops import pallas_pack as pp
+
+    monkeypatch.setattr(pp, "WRAP_SHIFT", wrap)
+    # force the mode at every geometry (use_wrap normally picks per-geometry)
+    monkeypatch.setattr(pp, "_wrap_profitable", lambda hw, window: True)
+
+    # shifted cross block at an odd-nW, edge-heavy size (seam masks + dummy slots)
+    out_ref, out_pk = _block_pair(24, 8, 3, True, True, (21, 21), seed=3)
+    np.testing.assert_allclose(out_pk, out_ref, rtol=2e-5, atol=2e-5)
+
+    # repartition == pack(to) . crop . unpack(from) on real pixels in this mode
+    rng = np.random.default_rng(4)
+    for hw in [(14, 28), (21, 21), (16, 9)]:
+        x = jnp.asarray(rng.random((2, 1, 5, *hw), dtype=np.float32))
+        for f, t in [(False, True), (True, False)]:
+            xp_f, _ = pack_windows_cmajor(x, (7, 7), f)
+            xp_t_direct, _ = pack_windows_cmajor(x, (7, 7), t)
+            xp_t = pp.repartition_packed(xp_f, (7, 7), hw, f, t)
+            assert xp_t.shape == xp_t_direct.shape
+            a = unpack_windows_cmajor(xp_t, (7, 7), hw, t)
+            b = unpack_windows_cmajor(xp_t_direct, (7, 7), hw, t)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wrap_profitability_choice():
+    """use_wrap picks wrap exactly where it shrinks the even-rounded window grid:
+    every 224^2-model stage map (112/56/28/14, window multiples) wraps; every
+    512^2 stage map (256/128/64/32) keeps the padded partition (the even-rounded
+    grids are equal there, so wrap's rolls would be pure cost)."""
+    from swin_unet_image_fusion_tpu.ops import pallas_pack as pp
+
+    for m in (112, 56, 28, 14):
+        assert pp.use_wrap((m, m), (7, 7), True), m
+    for m in (256, 128, 64, 32):
+        assert not pp.use_wrap((m, m), (7, 7), True), m
+    assert not pp.use_wrap((112, 112), (7, 7), False)
