@@ -1714,26 +1714,43 @@ def repartition_packed(
         xpad = jnp.concatenate(rows, axis=2)
         hr, hc = 1, 1
     else:
-        # zero halo so 2x2-neighbourhood reads at the borders contribute nothing.
-        # Row depth 2: with even-rounded row counts the target geometry can have up
-        # to two more (dummy) rows than the source (e.g. nh 2 -> 3 -> 4), and the
-        # dr=0/1 slices then reach nh_f + 2 — real pixels never live there, only
-        # masked dummy positions read the halo. Pair columns gap by at most 1 (nw
-        # gaps by <= 2 and halves), so depth 1 suffices there.
-        hr, hc = 2, 1
-        xpad = jnp.pad(xp, ((0, 0), (0, 0), (hr, hr), (hc, hc), (0, 0), (0, 0)))
-    out = None
+        # zero halo so 2x2-neighbourhood reads at the borders contribute nothing —
+        # expressed as the convolution's own explicit zero padding below (free: no
+        # pad/slice materialisation). Halo depth notes: with even-rounded row
+        # counts the target geometry can have up to two more (dummy) rows than the
+        # source (e.g. nh 2 -> 3 -> 4) and the dr=0/1 taps then reach nh_f + 2 —
+        # real pixels never live there, only masked dummy positions read the halo.
+        hr = hc = 0
+        xpad = xp
+    # All taps in ONE dilated convolution. Each (dr, dj) term is a full-array
+    # read + 128x128 lane matmul; as separate einsums XLA runs 4 bandwidth-bound
+    # passes over the packed activations (measured ~710 GB/s each at 512^2). A
+    # convolution over (row, pair) with the pair-column axis merged with c and
+    # rhs_dilation=c reads the array once and contracts every tap on the MXU:
+    # merged index m = p*c + cc, so a kernel tap at dilated offset dj*c reads
+    # pair p+dj at the same cc. Bit-exactness is preserved: the selector
+    # matrices are one-hot per target lane across all taps, so each output
+    # element is one exact product plus exact zeros.
+    dr0 = min(dr for dr, _, _ in terms)
+    dj0 = min(dj for _, dj, _ in terms)
+    kr = max(dr for dr, _, _ in terms) - dr0 + 1
+    kp = max(dj for _, dj, _ in terms) - dj0 + 1
+    kernel = np.zeros((kr, kp, LANES, LANES), np.float32)
     for dr, dj, m in terms:
-        src = jax.lax.slice(
-            xpad,
-            (0, 0, hr + dr, hc + dj, 0, 0),
-            (s, b, hr + dr + nh_t, hc + dj + npw_t, c, LANES),
-        )
-        contrib = jnp.einsum(
-            "sbrpcl,lm->sbrpcm",
-            src,
-            jnp.asarray(m, xp.dtype),
-            preferred_element_type=xp.dtype,
-        )
-        out = contrib if out is None else out + contrib
-    return out
+        kernel[dr - dr0, dj - dj0] = m
+    # conv padding (possibly negative = crop) aligns tap a=0 with offset dr0/dj0
+    # and sizes the output to the target grid; the merged axis pads in units of c
+    nh_in, npw_in = xpad.shape[2], xpad.shape[3]
+    pad_r = (-(hr + dr0), (hr + dr0 + nh_t + kr - 1) - nh_in)
+    pad_m = (-(hc + dj0) * c, ((hc + dj0 + npw_t + kp - 1) - npw_in) * c)
+    xm = xpad.reshape(s * b, nh_in, npw_in * c, LANES)  # 8-aligned: pure bitcast
+    out = jax.lax.conv_general_dilated(
+        xm,
+        jnp.asarray(kernel, xp.dtype),
+        window_strides=(1, 1),
+        padding=(pad_r, pad_m),
+        rhs_dilation=(1, c),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xp.dtype,
+    )
+    return out.reshape(s, b, nh_t, npw_t, c, LANES)
