@@ -38,7 +38,7 @@ def main():
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     impl = os.environ.get("BENCH_IMPL", "pallas_pack")  # lane-packed fused kernel
-    batch = int(os.environ.get("BENCH_BATCH", "64"))  # batch sweep in docs/BENCHMARKS.md
+    batch = int(os.environ.get("BENCH_BATCH", "128"))  # batch sweep in docs/BENCHMARKS.md
     hw = int(os.environ.get("BENCH_HW", "512"))
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
