@@ -634,11 +634,58 @@ class SelfAndCrossBlockPair(nn.Module):
     # input/output already C-major (S, B, C, H, W): the model runs the whole small-C
     # trunk (pads/merges/skips included) C-major, so no per-stage transposes here
     cmajor_io: bool = False
+    # input/output are packed NORMAL-geometry strips (S, B, nH, nPw, C, 128) over
+    # ``strips_hw`` — the packed-boundary trunk (ops/packed_boundary.py) keeps
+    # activations in strip layout across stages, so this pair never packs/unpacks;
+    # it re-partitions back to normal geometry after the final shifted block.
+    strips_io: bool = False
+    strips_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         impl = self.impl
         packed = False
+        if self.strips_io:
+            if not impl.startswith("pallas_pack"):
+                raise ValueError("strips_io requires the pallas_pack impl")
+            from ..ops.pallas_pack import repartition_packed
+
+            hw = self.strips_hw
+            win = self.window_size
+            strip = dict(
+                packed=True,
+                packed_io=True,
+                stage_hw=hw,
+                streams=self.streams,
+                dims=self.dims,
+                num_heads=self.num_heads,
+                dims_per_head=self.dims_per_head,
+                window_size=win,
+                mlp_hidden_dims=self.mlp_hidden_dims,
+                activation=self.activation,
+                use_qkv_bias=self.use_qkv_bias,
+                attention_drop_ratio=self.attention_drop_ratio,
+                proj_drop_ratio=self.proj_drop_ratio,
+                mlp_drop_ratio=self.mlp_drop_ratio,
+                dtype=self.dtype,
+                impl=impl,
+            )
+            x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, False, True)
+            x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, True, False)
+            x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
+                x, deterministic=deterministic
+            )
+            x = repartition_packed(x, win, hw, False, True)
+            x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
+                x, deterministic=deterministic
+            )
+            return repartition_packed(x, win, hw, True, False)
         if self.cmajor_io:
             if not impl.startswith("pallas_pack"):
                 raise ValueError("cmajor_io requires the pallas_pack impl")
@@ -780,6 +827,115 @@ class PatchUnmergeLayer(nn.Module):
         x = StackedLayerNorm(self.streams, cmajor=self.cmajor, name="norm")(x)
         d2s = depth_to_space_cmajor if self.cmajor else depth_to_space
         x = d2s(x, self.merging_size)
+        return activation_fn(self.activation)(x)
+
+
+def _strips_layer_norm(x, scale, bias, epsilon=1e-5):
+    """Torch-semantics LayerNorm over the channel (sublane, axis -2) dim of packed
+    strips (..., C, 128), fp32 like StackedLayerNorm; scale/bias (S, C)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-2, keepdims=True)
+    var = xf.var(axis=-2, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + epsilon)
+    shp = (scale.shape[0],) + (1,) * (x.ndim - 3) + (scale.shape[1], 1)
+    return (xn * scale.reshape(shp) + bias.reshape(shp)).astype(orig)
+
+
+class PackedPatchMergeLayer(nn.Module):
+    """:class:`PatchMergeLayer` on packed strips (ops/packed_boundary.py): the
+    reflect pads + space-to-depth + repack of the classic boundary run as one
+    selector convolution in strip layout; dense/LN/act follow as sublane ops.
+
+    Parameter tree ("linear", "norm") is IDENTICAL to PatchMergeLayer — the
+    reference-order (q-major) dense rows contract the selector output's q-major
+    lane blocks directly. Values are bit-equal to the classic chain on real
+    tokens (pad lanes hold garbage, as everywhere in the packed trunk).
+
+    Reference a011_PatchOperation.py:236-239 / a006_PaddingOperation.py.
+    """
+
+    streams: int
+    in_dims: int
+    out_dims: int
+    window_size: Tuple[int, int]
+    hw_src: Tuple[int, int]
+    pad_merge: Tuple[int, int]
+    pad_win: Tuple[int, int]
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.packed_boundary import merge_packed
+
+        c = self.in_dims
+        kernel, bias = StackedDense(
+            self.streams, self.out_dims, True, self.dtype,
+            in_features=4 * c, name="linear",
+        )(None)
+        scale, nbias = StackedLayerNorm(
+            self.streams, features=self.out_dims, name="norm"
+        )(None)
+        y = merge_packed(
+            xp.astype(self.dtype), self.window_size, self.hw_src,
+            self.pad_merge, self.pad_win,
+        )  # (S, B, Rt, Pt, C, 4*128): q-major lane blocks
+        kernel = kernel.astype(self.dtype)
+        out = None
+        for q in range(4):
+            part = jnp.einsum(
+                "sbrpcl,scd->sbrpdl",
+                y[..., q * 128 : (q + 1) * 128],
+                kernel[:, q * c : (q + 1) * c, :],
+                preferred_element_type=self.dtype,
+                precision=matmul_precision(self.dtype),
+            )
+            out = part if out is None else out + part
+        out = out + bias.astype(self.dtype)[:, None, None, None, :, None]
+        out = _strips_layer_norm(out, scale, nbias)
+        return activation_fn(self.activation)(out)
+
+
+class PackedPatchUnmergeLayer(nn.Module):
+    """:class:`PatchUnmergeLayer` on packed strips: dense C -> 4*out (reference
+    q-major column order, unpermuted) + LN as sublane ops, then the undo-crops +
+    depth-to-space + repack run as one selector convolution in strip layout
+    (exact on every real target token — decoder crops only drop data).
+
+    Parameter tree ("linear", "norm") identical to PatchUnmergeLayer.
+    Reference a011_PatchOperation.py:241 (linear, LN, unmerge, act).
+    """
+
+    streams: int
+    out_dims: int
+    window_size: Tuple[int, int]
+    hw_dst: Tuple[int, int]
+    activation: str = "elu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.packed_boundary import unmerge_selector_conv
+
+        in_dims = xp.shape[-2]
+        kernel, bias = StackedDense(
+            self.streams, 4 * self.out_dims, True, self.dtype,
+            in_features=in_dims, name="linear",
+        )(None)
+        scale, nbias = StackedLayerNorm(
+            self.streams, features=4 * self.out_dims, name="norm"
+        )(None)
+        x = jnp.einsum(
+            "sbrpcl,scd->sbrpdl",
+            xp.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=self.dtype,
+            precision=matmul_precision(self.dtype),
+        )
+        x = x + bias.astype(self.dtype)[:, None, None, None, :, None]
+        x = _strips_layer_norm(x, scale, nbias)
+        x = unmerge_selector_conv(x, self.window_size, self.hw_dst)
         return activation_fn(self.activation)(x)
 
 

@@ -32,6 +32,8 @@ from ..ops.patch import (
 from ..ops.shape_plan import make_plan
 from .layers import (
     FinalHead,
+    PackedPatchMergeLayer,
+    PackedPatchUnmergeLayer,
     PatchMergeLayer,
     PatchUnmergeLayer,
     SelfAndCrossBlockPair,
@@ -106,31 +108,63 @@ class SwinFusionUNet(nn.Module):
                 mlp_drop_ratio=cfg.mlp_drop_ratio,
                 dtype=dtype,
                 impl=attention_impl,
-                cmajor_io=stage_cmajor[k],
+                strips_io=stage_cmajor[k],
+                strips_hw=plan[k].att_hw if stage_cmajor[k] else None,
                 name=f"{role}{k}_blocks",
             )
 
+        # cmajor stages run on packed strips end-to-end: the quartet is strips-in/
+        # strips-out (normal geometry), and a boundary between two cmajor stages
+        # runs patch merge / anti-merge directly in strip layout
+        # (ops/packed_boundary.py) — no unpack/pack transpose chains between them.
+        if any(stage_cmajor):
+            from ..ops.pallas_pack import pack_windows_cmajor, unpack_windows_cmajor
+
         x = jnp.stack([ir, vis], axis=0).astype(dtype)  # (S, B, H, W, 1)
         layout = False  # NHWC
+        strips = False  # packed normal strips over the current stage's att_hw
 
         # ---------------- encoder ----------------
         skips = []
         for k in range(n):
             p = plan[k]
-            x = to_layout(x, layout, stage_cmajor[k])
-            layout = stage_cmajor[k]
-            pad = pad_reflect_bottom_right_cmajor if layout else pad_reflect_bottom_right
-            x = pad(x, p.pad_merge)
-            x = PatchMergeLayer(
-                streams=STREAMS,
-                out_dims=cfg.out_dims_list[k],
-                merging_size=cfg.merging_size,
-                activation=cfg.mlp_activation,
-                dtype=dtype,
-                cmajor=layout,
-                name=f"enc{k}_merge",
-            )(x)
-            x = pad(x, p.pad_win)
+            if stage_cmajor[k] and strips:
+                # packed boundary: reflect pads + merge + repack as one strip op
+                x = PackedPatchMergeLayer(
+                    streams=STREAMS,
+                    in_dims=cfg.in_dims_list[k],
+                    out_dims=cfg.out_dims_list[k],
+                    window_size=cfg.window_size,
+                    hw_src=p.in_hw,
+                    pad_merge=p.pad_merge,
+                    pad_win=p.pad_win,
+                    activation=cfg.mlp_activation,
+                    dtype=dtype,
+                    name=f"enc{k}_merge",
+                )(x)
+            else:
+                if strips:
+                    x = unpack_windows_cmajor(x, cfg.window_size, p.in_hw)
+                    layout, strips = True, False
+                x = to_layout(x, layout, stage_cmajor[k])
+                layout = stage_cmajor[k]
+                pad = (
+                    pad_reflect_bottom_right_cmajor if layout else pad_reflect_bottom_right
+                )
+                x = pad(x, p.pad_merge)
+                x = PatchMergeLayer(
+                    streams=STREAMS,
+                    out_dims=cfg.out_dims_list[k],
+                    merging_size=cfg.merging_size,
+                    activation=cfg.mlp_activation,
+                    dtype=dtype,
+                    cmajor=layout,
+                    name=f"enc{k}_merge",
+                )(x)
+                x = pad(x, p.pad_win)
+                if stage_cmajor[k]:
+                    x, _ = pack_windows_cmajor(x.astype(dtype), cfg.window_size)
+            strips = stage_cmajor[k]
             x = stage_blocks(k, "enc")(x, deterministic=deterministic)
             if k < n - 1:
                 skips.append(x)  # a013:219-220 — all but the last stage
@@ -138,26 +172,48 @@ class SwinFusionUNet(nn.Module):
         # ---------------- decoder ----------------
         for j in range(n):
             k = n - 1 - j  # mirrored encoder stage
-            x = to_layout(x, layout, stage_cmajor[k])
-            layout = stage_cmajor[k]
+            p = plan[k]
+            if stage_cmajor[k] and not strips:
+                x = to_layout(x, layout, True)
+                x, _ = pack_windows_cmajor(x.astype(dtype), cfg.window_size)
+                layout, strips = True, True
+            elif not stage_cmajor[k] and strips:
+                x = unpack_windows_cmajor(x, cfg.window_size, p.att_hw)
+                x = to_layout(x, True, False)
+                layout, strips = False, False
             if j > 0:
                 # additive skips, LIFO — a013:221-224; the popped skip comes from
-                # encoder stage k, so it is already in this stage's layout
+                # encoder stage k, so it is in this stage's form by construction
+                # (strips over the same normal geometry, or the same map layout)
                 x = x + skips.pop()
-            p = plan[k]
             x = stage_blocks(k, "dec")(x, deterministic=deterministic)
-            crop = crop_bottom_right_cmajor if layout else crop_bottom_right
-            x = crop(x, p.pad_win)
-            x = PatchUnmergeLayer(
-                streams=STREAMS,
-                out_dims=cfg.in_dims_list[k],
-                merging_size=cfg.merging_size,
-                activation=cfg.mlp_activation,
-                dtype=dtype,
-                cmajor=layout,
-                name=f"dec{k}_unmerge",
-            )(x)
-            x = crop(x, p.pad_merge)
+            if strips and k > 0 and stage_cmajor[k - 1]:
+                # packed boundary: undo-crops + anti-merge + repack as one strip op
+                x = PackedPatchUnmergeLayer(
+                    streams=STREAMS,
+                    out_dims=cfg.in_dims_list[k],
+                    window_size=cfg.window_size,
+                    hw_dst=p.in_hw,
+                    activation=cfg.mlp_activation,
+                    dtype=dtype,
+                    name=f"dec{k}_unmerge",
+                )(x)
+            else:
+                if strips:
+                    x = unpack_windows_cmajor(x, cfg.window_size, p.att_hw)
+                    layout, strips = True, False
+                crop = crop_bottom_right_cmajor if layout else crop_bottom_right
+                x = crop(x, p.pad_win)
+                x = PatchUnmergeLayer(
+                    streams=STREAMS,
+                    out_dims=cfg.in_dims_list[k],
+                    merging_size=cfg.merging_size,
+                    activation=cfg.mlp_activation,
+                    dtype=dtype,
+                    cmajor=layout,
+                    name=f"dec{k}_unmerge",
+                )(x)
+                x = crop(x, p.pad_merge)
 
         # ---------------- final head ----------------
         x = to_layout(x, layout, False)  # NHWC for the conv head
