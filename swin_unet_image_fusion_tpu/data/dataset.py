@@ -8,8 +8,11 @@ Re-design of the reference dataset (``/root/reference/a015_dataset.py``):
   train mode keeps only the Y channel, test mode returns all 3 (a015:86-106);
 - the reference synchronises the random crop/flip across the (ir, vis) pair by calling
   ``torch.manual_seed`` twice with the same seed (a015:96-103). Here the pair
-  augmentation is a pure function of one numpy Generator draw — sampled once, applied to
-  both images — which is the explicit-key equivalent;
+  augmentation is a pure function of one per-item Generator,
+  ``np.random.default_rng((seed, epoch, index))`` — sampled once, applied to both
+  images. Deriving the generator from (seed, epoch, index) makes augmentation
+  bit-reproducible for a fixed seed *regardless of decode-thread scheduling* (a shared
+  Generator across the thread pool would be both racy and order-dependent);
 - RandomResizedCrop(224) + RandomHorizontalFlip(0.5) reproduce torchvision v2 semantics
   (scale (0.08, 1), log-uniform aspect in (3/4, 4/3), 10 proposals then centre fallback,
   bilinear resize);
@@ -144,7 +147,12 @@ class FusionPairDataset:
             raise ValueError(
                 f"ir/vis count mismatch: {len(self.ir_paths)} vs {len(self.vis_paths)}"
             )
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._aug_epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream (new draws each epoch, reproducibly)."""
+        self._aug_epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.ir_paths)
@@ -168,7 +176,7 @@ class FusionPairDataset:
         ir, vis = self._read_pair(index)
         if not self.is_test:
             vis = vis[..., 0:1]  # Y channel only for training (a015:92-93)
-            ir, vis = self.augment_pair(ir, vis)
+            ir, vis = self.augment_pair(ir, vis, index)
         return {
             "ir": ir,
             "vis": vis,
@@ -177,17 +185,22 @@ class FusionPairDataset:
         }
 
     def augment_pair(
-        self, ir: np.ndarray, vis: np.ndarray
+        self, ir: np.ndarray, vis: np.ndarray, index: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """One parameter draw applied to both images (paired augmentation)."""
+        """One parameter draw applied to both images (paired augmentation).
+
+        The generator is derived per item from (seed, epoch, index), so the draw is
+        independent of which decode thread runs the item and of submission order.
+        """
         cfg = self.cfg
+        rng = np.random.default_rng((self.seed, self._aug_epoch, index))
         h, w = ir.shape[:2]
         top, left, ch, cw = sample_resized_crop_params(
-            self.rng, h, w, cfg.crop_scale, cfg.crop_ratio
+            rng, h, w, cfg.crop_scale, cfg.crop_ratio
         )
         ir = resized_crop(ir, top, left, ch, cw, cfg.crop_size)
         vis = resized_crop(vis, top, left, ch, cw, cfg.crop_size)
-        if self.rng.random() < cfg.hflip_prob:
+        if rng.random() < cfg.hflip_prob:
             ir = ir[:, ::-1]
             vis = vis[:, ::-1]
         return np.ascontiguousarray(ir), np.ascontiguousarray(vis)
@@ -286,8 +299,9 @@ def device_prefetch(
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(stop)
+        except BaseException as exc:  # re-raised in the consumer (fail loudly,
+            q.put(exc)  # matching the reference's decode-error behavior a015:77-84)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -295,4 +309,6 @@ def device_prefetch(
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

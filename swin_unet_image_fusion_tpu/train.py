@@ -279,6 +279,9 @@ class Trainer:
 
     def train_one_epoch_with_vali(self):
         cfg = self.cfg
+        # advance the per-item augmentation stream: same seed -> bit-identical
+        # epochs across runs, fresh crops each epoch (a015_dataset.py:96-103 intent)
+        self.dataset.set_epoch(self.current_epoch)
         batches = device_prefetch(
             iter(self.train_loader), depth=cfg.data.prefetch_depth,
             sharding=self.batch_sharding,
@@ -305,6 +308,16 @@ class Trainer:
         self._drain_logs(force=True)
 
     def validate(self):
+        if len(self.val_loader) == 0:
+            # tiny dataset + drop_last can leave the 1% split with zero full batches
+            print(
+                yellow(
+                    "validation skipped: val split has no full batch "
+                    f"({len(self.val_loader.indices)} images, batch {self.batch_size}) — "
+                    "lower training_set_ratio or batch_size to validate"
+                )
+            )
+            return
         for i, batch in enumerate(
             device_prefetch(iter(self.val_loader), sharding=self.batch_sharding), start=1
         ):

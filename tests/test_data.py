@@ -74,6 +74,55 @@ def test_crop_params_within_bounds(rng):
         assert h > 0 and w > 0
 
 
+def test_augmentation_seed_determinism_across_threads(dataset_dir):
+    """Same-seed runs produce bit-identical batches with 8 decode threads, and the
+    thread count does not change the data (per-item (seed, epoch, index) RNG —
+    reference reproducibility intent, a015_dataset.py:96-103)."""
+
+    def run(num_threads, seed=7):
+        ds = FusionPairDataset(is_test=False, dataset_folder=dataset_dir, seed=seed)
+        out = []
+        for epoch in range(2):
+            ds.set_epoch(epoch)
+            loader = BatchLoader(
+                ds, np.arange(len(ds)), batch_size=3, shuffle=True, drop_last=True,
+                seed=seed, num_threads=num_threads,
+            )
+            out.extend(np.stack([b["ir"], b["vis"]]) for b in loader)
+        return np.stack(out)
+
+    a = run(8)
+    b = run(8)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, run(1))
+
+    # different epochs draw different crops (the stream advances)
+    ds = FusionPairDataset(is_test=False, dataset_folder=dataset_dir, seed=7)
+    ds.set_epoch(0)
+    e0 = ds[0]["ir"]
+    ds.set_epoch(1)
+    e1 = ds[0]["ir"]
+    assert not np.array_equal(e0, e1)
+
+
+def test_device_prefetch_propagates_decode_errors(dataset_dir, tmp_path):
+    """A corrupt image fails the epoch loudly (reference a015_dataset.py:77-84),
+    not silently shortening it."""
+    from swin_unet_image_fusion_tpu.data.dataset import device_prefetch
+
+    corrupt = tmp_path / "bad"
+    (corrupt / "ir").mkdir(parents=True)
+    (corrupt / "vis").mkdir(parents=True)
+    for name in ("a.png", "b.png"):
+        (corrupt / "ir" / name).write_bytes(b"not an image")
+        (corrupt / "vis" / name).write_bytes(b"not an image")
+
+    ds = FusionPairDataset(is_test=False, dataset_folder=str(corrupt))
+    loader = BatchLoader(ds, np.arange(len(ds)), batch_size=2, shuffle=False)
+    with pytest.raises(NameError, match="failed to decode"):
+        list(device_prefetch(iter(loader)))
+
+
 def test_batch_loader_and_split(dataset_dir):
     ds = FusionPairDataset(is_test=False, dataset_folder=dataset_dir)
     tr, val = split_train_val(len(ds), 0.5, seed=0)

@@ -82,6 +82,24 @@ def jax_leaves(tree):
     return jax.tree.leaves(tree)
 
 
+def test_trainer_warns_on_empty_validation_split(cfg, capsys):
+    """1% split + drop_last can leave zero full val batches on tiny datasets; the
+    trainer must warn and skip instead of silently printing empty means."""
+    import dataclasses
+
+    from swin_unet_image_fusion_tpu.train import Trainer
+
+    # 8 images, ratio 0.99 -> 0 val images; batch 2 + drop_last -> 0 val batches
+    cfg_empty = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, training_set_ratio=0.99)
+    )
+    trainer = Trainer(cfg_empty, use_mesh=False)
+    assert len(trainer.val_loader) == 0
+    trainer.validate()
+    out = capsys.readouterr().out
+    assert "validation skipped" in out
+
+
 def test_trainer_adjusts_batch_for_mesh(cfg, tmp_path):
     """A batch size that doesn't divide the data mesh is rounded to shard evenly."""
     import dataclasses
