@@ -40,9 +40,7 @@ class ModelConfig:
     #   "auto"         — (default) "pallas_pack" on TPU backends, "jnp" elsewhere
     #   "jnp"          — XLA-fused composition (safest to compile)
     #   "pallas"       — fused attention kernel (2.1x faster e2e at 512^2 bf16)
-    #   "pallas_block" — fully fused LN+attention+MLP block kernel; the one impl
-    #                    without in-kernel dropout (falls back to "jnp" with a
-    #                    warning when any dropout ratio > 0)
+    #   "pallas_block" — fully fused LN+attention+MLP block kernel
     #   "pallas_pack"  — lane-packed C-major block kernel at small-C stages (zero
     #                    HBM lane padding; differentiable), "pallas" at deep stages.
     #                    Fastest measured on TPU: 33.1 pairs/s @512^2 bf16 vs 26.9
@@ -53,12 +51,10 @@ class ModelConfig:
     def resolved_attention_impl(self) -> str:
         """Resolve "auto" against the runtime backend (TPU -> the packed kernels).
 
-        Dropout runs natively on the production kernels ("pallas", "pallas_pack"):
-        in-kernel hash masks (ops/hash_dropout.py). Only "pallas_block" lacks it;
-        a nonzero dropout ratio there falls back to the jnp path (with a warning)
-        instead of crashing at trace time — every reference-legal config
-        (a001_WindowAttention.py:20-22, a003_AutoPathMLP.py:26-31) trains on every
-        impl setting.
+        Dropout runs natively on every Pallas impl ("pallas", "pallas_pack",
+        "pallas_block"): in-kernel hash masks (ops/hash_dropout.py), so every
+        reference-legal config (a001_WindowAttention.py:20-22,
+        a003_AutoPathMLP.py:26-31) trains on every impl setting.
         """
         impl = self.attention_impl
         if impl == "auto":
@@ -72,21 +68,6 @@ class ModelConfig:
             except Exception:
                 is_tpu = False
             impl = "pallas_pack" if is_tpu else "jnp"
-        has_dropout = (
-            self.attention_drop_ratio
-            or self.linear_after_att_drop_ratio
-            or self.mlp_drop_ratio
-        )
-        if has_dropout and impl.startswith("pallas_block"):
-            import warnings
-
-            warnings.warn(
-                f"attention_impl={impl!r} does not support dropout; falling back to "
-                "the jnp path (set all drop ratios to 0.0 or use pallas/pallas_pack,"
-                " which run dropout in-kernel)",
-                stacklevel=2,
-            )
-            impl = "jnp"
         return impl
     # Rematerialise each stage's block pair on the backward pass (jax.checkpoint):
     # trades ~1/3 extra FLOPs for O(num_blocks) less activation HBM — enables bigger

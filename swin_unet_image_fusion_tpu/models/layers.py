@@ -416,7 +416,7 @@ class BasicBlock(nn.Module):
         if self.packed:
             return self._packed_block_forward(x, deterministic=deterministic)
         if self.impl.startswith("pallas_block"):
-            return self._fused_block_forward(x)
+            return self._fused_block_forward(x, deterministic=deterministic)
         shortcut = x
         x = StackedLayerNorm(self.streams, name="norm1")(x)
         x = DualWindowAttention(
@@ -549,14 +549,26 @@ class BasicBlock(nn.Module):
             **drop_kwargs,
         )
 
-    def _fused_block_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _fused_block_forward(
+        self, x: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
         """Whole-block fused Pallas kernel (ops/pallas_block.py): LN -> attention ->
         +res -> LN -> MLP -> +res in one pass, differentiable (custom VJP). Declares
         the identical param tree to the composed path."""
         from ..ops.pallas_block import pallas_fused_block
 
-        if self.attention_drop_ratio or self.proj_drop_ratio or self.mlp_drop_ratio:
-            raise NotImplementedError("dropout is not supported in the fused block")
+        # in-kernel hash dropout (ops/hash_dropout.py), same wiring as the packed path
+        rates = (
+            float(self.attention_drop_ratio),
+            float(self.proj_drop_ratio),
+            float(self.mlp_drop_ratio),
+        )
+        drop_kwargs = {}
+        if any(rates) and not deterministic:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 1 << 24, dtype=jnp.int32
+            ).astype(jnp.float32)
+            drop_kwargs = dict(drop_rates=rates, drop_seed=seed)
 
         c = x.shape[-1]
         ln1_scale, ln1_bias = StackedLayerNorm(
@@ -608,6 +620,7 @@ class BasicBlock(nn.Module):
             dims_per_head=self.dims_per_head,
             activation=self.activation,
             interpret=self.impl == "pallas_block_interpret",
+            **drop_kwargs,
         )
 
 

@@ -33,6 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import hash_dropout as hdrop
 from .pallas_attention import (
     _full_mask,
     _padded_t,
@@ -75,10 +76,36 @@ def _block_fwd_body(
     num_heads: int,
     dims_per_head: int,
     activation: str,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    seed_ref=None,
 ):
     _, tile, tp, c = x_ref.shape
     scale = dims_per_head**-0.5
     dtype = x_ref.dtype
+
+    rate_a, rate_p, rate_m = drop_rates
+    if seed_ref is not None and any(drop_rates):
+        # in-kernel hash dropout (ops/hash_dropout.py): masks keyed by
+        # (seed, site, global window index, intra offset) — tiling-independent,
+        # so the backward's finer grid regenerates the identical masks
+        seed = seed_ref[0].astype(jnp.int32)
+        win0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def site_keep(site, inner, rate, intra_base=0):
+            return hdrop.tile_keep_mask(
+                seed, site, win0, tile, inner, rate, intra_base=intra_base
+            )
+
+        def drop2(a2d, site, cols, rate):
+            """Dropout on a (tile*tp, cols) tensor via per-window (tp, cols) masks."""
+            keep = site_keep(site, (tp, cols), rate)
+            return hdrop.apply_mask(
+                a2d.reshape(tile, tp, cols), keep, rate
+            ).reshape(tile * tp, cols)
+    else:
+        site_keep = drop2 = None
 
     x = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
     kv = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
@@ -123,6 +150,10 @@ def _block_fwd_body(
         s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
         p = jax.nn.softmax(s, axis=-1)
+        if site_keep is not None and rate_a > 0:
+            p = hdrop.apply_mask(
+                p, site_keep(hdrop.SITE_ATTN, (tp, tp), rate_a, h * tp * tp), rate_a
+            )
 
         av = bmm(p.astype(dtype), v.astype(dtype), ((2,), (1,)))
         acc = acc + mm(
@@ -130,7 +161,10 @@ def _block_fwd_body(
             wp_ref[0, h].astype(dtype),
         )
 
-    y = x + acc + bp_ref[0, 0].astype(jnp.float32)  # first residual
+    proj = acc + bp_ref[0, 0].astype(jnp.float32)
+    if drop2 is not None and rate_p > 0:
+        proj = drop2(proj, hdrop.SITE_PROJ, c, rate_p)
+    y = x + proj  # first residual
 
     # ---- MLP on the second pre-norm ----
     ln_y = layer_norm(y, ln2s_ref, ln2b_ref).astype(dtype)
@@ -144,7 +178,11 @@ def _block_fwd_body(
         hdn = jax.nn.gelu(hdn)
     else:
         raise ValueError(activation)
+    if drop2 is not None and rate_m > 0:
+        hdn = drop2(hdn, hdrop.SITE_MLP_HIDDEN, hdn.shape[-1], rate_m)
     m = mm(hdn.astype(dtype), w2_ref[0].astype(dtype)) + b2_ref[0, 0].astype(jnp.float32)
+    if drop2 is not None and rate_m > 0:
+        m = drop2(m, hdrop.SITE_MLP_OUT, c, rate_m)
 
     out = y + m
     out_ref[...] = out.reshape(1, tile, tp, c).astype(out_ref.dtype)
@@ -206,10 +244,34 @@ def _block_bwd_body(
     dims_per_head: int,
     activation: str,
     batch: int,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    seed_ref=None,
 ):
     """Recompute the fused block in VMEM, then backprop everything."""
     _, tile, tp, c = x_ref.shape
     scale_qk = dims_per_head**-0.5
+
+    rate_a, rate_p, rate_m = drop_rates
+    if seed_ref is not None and any(drop_rates):
+        # identical masks to the forward under this (finer) grid: the hash is a
+        # pure function of the global window index
+        seed = seed_ref[0].astype(jnp.int32)
+        win0 = (
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        ) * jnp.int32(tile)
+
+        def site_keep(site, inner, rate, intra_base=0):
+            return hdrop.tile_keep_mask(
+                seed, site, win0, tile, inner, rate, intra_base=intra_base
+            )
+
+        def drop2(a2d, site, cols, rate):
+            keep = site_keep(site, (tp, cols), rate)
+            return hdrop.apply_mask(
+                a2d.reshape(tile, tp, cols), keep, rate
+            ).reshape(tile * tp, cols)
+    else:
+        site_keep = drop2 = None
 
     x = x_ref[0].reshape(tile * tp, c).astype(jnp.float32)
     kv = kv_ref[0].reshape(tile * tp, c).astype(jnp.float32)
@@ -280,21 +342,35 @@ def _block_bwd_body(
         sc = bmm(q, k, ((2,), (2,))) * scale_qk + bias[None]
         sc = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), sc)
         p = jax.nn.softmax(sc, axis=-1)
-        av = bmm(p, v, ((2,), (1,)))
+        if site_keep is not None and rate_a > 0:
+            p_use = hdrop.apply_mask(
+                p, site_keep(hdrop.SITE_ATTN, (tp, tp), rate_a, h * tp * tp), rate_a
+            )
+        else:
+            p_use = p
+        av = bmm(p_use, v, ((2,), (1,)))
         acc = acc + mm(av.reshape(tile * tp, dims_per_head), wp)
-        heads_res.append((q, k, v, p, av))
+        heads_res.append((q, k, v, p, p_use, av))
 
-    y = x + acc + bp_ref[0, 0].astype(jnp.float32)
+    proj = acc + bp_ref[0, 0].astype(jnp.float32)
+    if drop2 is not None and rate_p > 0:
+        proj = drop2(proj, hdrop.SITE_PROJ, c, rate_p)
+    y = x + proj
     ln_y, xhat2, inv2 = _ln_fwd(y, s2, b2v)
     pre1 = mm(ln_y, w1) + b1m
     h1, dact = _act_and_grad(pre1, activation)
+    if drop2 is not None and rate_m > 0:
+        h1 = drop2(h1, hdrop.SITE_MLP_HIDDEN, h1.shape[-1], rate_m)
 
     # ---- backward ----
-    # out = y + h1 @ w2 + b2m
+    # out = y + drop(drop(h1) @ w2 + b2m); h1 above is already dropped
     g_y = g
-    gw2_ref[0] += mm_tn(h1, g)
-    gb2_ref[0, 0] += g.sum(axis=0)
-    g_h1 = mm(g, w2.T)
+    g_m = drop2(g, hdrop.SITE_MLP_OUT, c, rate_m) if (drop2 is not None and rate_m > 0) else g
+    gw2_ref[0] += mm_tn(h1, g_m)
+    gb2_ref[0, 0] += g_m.sum(axis=0)
+    g_h1 = mm(g_m, w2.T)
+    if drop2 is not None and rate_m > 0:
+        g_h1 = drop2(g_h1, hdrop.SITE_MLP_HIDDEN, g_h1.shape[-1], rate_m)
     g_pre1 = g_h1 * dact
     gw1_ref[0] += mm_tn(ln_y, g_pre1)
     gb1_ref[0, 0] += g_pre1.sum(axis=0)
@@ -304,23 +380,33 @@ def _block_bwd_body(
     gln2b_ref[0, 0] += g_b2
     g_y = g_y + g_y2
 
-    # attention backward: upstream grad of `acc` (+bp) is g_y
+    # attention backward: upstream grad of `acc` (+bp) is g_y through the proj drop
+    g_proj = (
+        drop2(g_y, hdrop.SITE_PROJ, c, rate_p)
+        if (drop2 is not None and rate_p > 0)
+        else g_y
+    )
     g_lnx = jnp.zeros((tile * tp, c), jnp.float32)
     g_lnkv = jnp.zeros((tile * tp, c), jnp.float32)
     g_bias_acc = jnp.zeros((tp, tp), jnp.float32)
-    gbp_ref[0, 0] += g_y.sum(axis=0)
+    gbp_ref[0, 0] += g_proj.sum(axis=0)
     for h in range(num_heads):
         wq = wq_ref[0, h].astype(jnp.float32)
         wk = wk_ref[0, h].astype(jnp.float32)
         wv = wv_ref[0, h].astype(jnp.float32)
         wp = wp_ref[0, h].astype(jnp.float32)
-        q, k, v, p, av = heads_res[h]
+        q, k, v, p, p_use, av = heads_res[h]
 
-        g_av2 = mm(g_y, wp.T)
-        gwp_ref[0, h] += mm_tn(av.reshape(tile * tp, dims_per_head), g_y)
+        g_av2 = mm(g_proj, wp.T)
+        gwp_ref[0, h] += mm_tn(av.reshape(tile * tp, dims_per_head), g_proj)
         g_av = g_av2.reshape(tile, tp, dims_per_head)
         g_p = bmm(g_av, v, ((2,), (2,)))
-        g_v = bmm(p, g_av, ((1,), (1,)))
+        g_v = bmm(p_use, g_av, ((1,), (1,)))
+        if site_keep is not None and rate_a > 0:
+            # AV consumed p_use = where(keep, p/q, 0): scale the softmax cotangent
+            g_p = hdrop.apply_mask(
+                g_p, site_keep(hdrop.SITE_ATTN, (tp, tp), rate_a, h * tp * tp), rate_a
+            )
         tmp = jnp.sum(g_p * p, axis=-1, keepdims=True)
         g_s = p * (g_p - tmp)
         g_bias_acc = g_bias_acc + jnp.sum(g_s, axis=0)
@@ -361,20 +447,34 @@ def _block_bwd_body(
 
 
 def _block_fwd_kernel(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        *refs, seed_ref, out = refs
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        *refs, out = refs
     (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
-     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _block_fwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv,
                     wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, out, **kw)
 
 
 def _block_fwd_kernel_self(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        *refs, seed_ref, out = refs
+        kw = dict(kw, seed_ref=seed_ref)
+    else:
+        *refs, out = refs
     (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
-     bias, mask, ln2s, ln2b, w1, b1, w2, b2, out) = refs
+     bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _block_fwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk, wv, bv,
                     wp, bp, bias, mask, ln2s, ln2b, w1, b1, w2, b2, out, **kw)
 
 
 def _block_bwd_kernel(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        # seed is appended after g (the 23rd input); outputs follow it
+        kw = dict(kw, seed_ref=refs[23])
+        refs = refs[:23] + refs[24:]
     (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
      gx, gkv, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
@@ -388,6 +488,10 @@ def _block_bwd_kernel(*refs, **kw):
 
 
 def _block_bwd_kernel_self(*refs, **kw):
+    if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
+        # seed is appended after g (the 20th input); outputs follow it
+        kw = dict(kw, seed_ref=refs[20])
+        refs = refs[:20] + refs[21:]
     (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2, g,
      gx, gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
@@ -421,6 +525,8 @@ def pallas_fused_block(
     dims_per_head: int,
     activation: str = "elu",
     interpret: bool = False,
+    drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    drop_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One fused pre-norm Swin block on stacked streams (S, B, H, W, C) -> same.
 
@@ -428,7 +534,11 @@ def pallas_fused_block(
     :func:`pallas_attention.shift_pad_geometry`); the cross path's k/v reads the
     other stream's strips of the same windowed array through a stream-flipped
     BlockSpec — no roll, no flip, no second windowing. ``mask`` is ignored (kept
-    for signature stability); the edge mask is derived from the geometry."""
+    for signature stability); the edge mask is derived from the geometry.
+
+    ``drop_rates`` = (attention, proj, mlp) dropout rates, applied in-kernel via
+    hash masks (ops/hash_dropout.py) at the reference's four sites
+    (a001_WindowAttention.py:58-66, a003_AutoPathMLP.py:26-31)."""
     s, b, orig_h, orig_w, c = x.shape
     wh, ww = window
     t = wh * ww
@@ -442,8 +552,17 @@ def pallas_fused_block(
     n = s * b
     d = dims_per_head
     hd = w1.shape[-1]
+
+    drop_rates = tuple(float(r) for r in drop_rates)
+    has_drop = any(drop_rates)
+    if has_drop and drop_seed is None:
+        raise ValueError("drop_rates > 0 requires a drop_seed")
+    seed_arr = (
+        jnp.asarray(drop_seed, jnp.float32).reshape(1) if has_drop else None
+    )
+
     # VMEM budget counts the 4C-wide MLP hidden resident alongside the strip
-    r_t = rows_per_tile(n_rows, n_w, tp, c + hd)
+    r_t = rows_per_tile(n_rows, n_w, tp, c + hd, attn_drop=bool(drop_rates[0]))
     n_tiles = n_rows // r_t
     wt = r_t * n_w
 
@@ -527,10 +646,14 @@ def pallas_fused_block(
             stream_spec((hd, c)), stream_spec((1, c)),
         ]
 
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     fwd_in_specs = make_in_specs(feat_inputs, mask_spec)
+    if has_drop:
+        fwd_in_specs = [*fwd_in_specs, seed_spec]
+    static_drop = dict(drop_rates=drop_rates) if has_drop else {}
 
     def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
-                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l):
+                 bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra):
         xw, kvw = (feats if cross else (feats[0], None))
         mask_arr = jnp.asarray(mask_np)
         if cross:
@@ -545,6 +668,7 @@ def pallas_fused_block(
                 num_heads=num_heads,
                 dims_per_head=d,
                 activation=activation,
+                **static_drop,
             ),
             grid=(n, n_tiles),
             in_specs=fwd_in_specs,
@@ -555,12 +679,12 @@ def pallas_fused_block(
         )(
             *args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
-            ln2s, ln2b, w1a, b1l, w2a, b2l,
+            ln2s, ln2b, w1a, b1l, w2a, b2l, *extra,
         )
 
     def _backward(res, g):
         (feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
-         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l) = res
+         bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra) = res
         mask_arr = jnp.asarray(mask_np)
         f32 = jnp.float32
 
@@ -579,6 +703,7 @@ def pallas_fused_block(
             )
         feat_inputs_b = [feat_b, feat_other_b] if cross else [feat_b]
         bwd_in_specs = make_in_specs(feat_inputs_b, mask_spec_b)
+        bwd_tail_specs = [feat_b, seed_spec] if has_drop else [feat_b]
 
         def retile(a):
             return a.reshape(n * n_tiles_b, wt_b, tp, c)
@@ -603,9 +728,10 @@ def pallas_fused_block(
                 dims_per_head=d,
                 activation=activation,
                 batch=b,
+                **static_drop,
             ),
             grid=(n, n_tiles_b),
-            in_specs=[*bwd_in_specs, feat_b],
+            in_specs=[*bwd_in_specs, *bwd_tail_specs],
             out_specs=(
                 *feat_inputs_b,
                 out_stream_spec((1, c)), out_stream_spec((1, c)),
@@ -649,7 +775,7 @@ def pallas_fused_block(
             *in_args,
             wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl, bias_pa, mask_arr,
             ln2s, ln2b, w1a, b1l, w2a, b2l,
-            gw,
+            gw, *extra,
         )
         n_fg = len(feat_inputs)
         # back to the forward strip tiling (grads must match the residuals' shape)
@@ -674,6 +800,7 @@ def pallas_fused_block(
             cast(gln2s, ln2s), cast(gln2b, ln2b),
             cast(gw1, w1a), cast(gb1, b1l),
             cast(gw2, w2a), cast(gb2, b2l),
+            *(jnp.zeros_like(e) for e in extra),  # seed: no gradient
         )
 
     @jax.custom_vjp
@@ -696,6 +823,7 @@ def pallas_fused_block(
         bias_p,
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1, b1[:, None, :], w2, b2[:, None, :],
+        *((seed_arr,) if has_drop else ()),
     )
 
     out = out.reshape(s, b * n_rows, n_w, tp, c)[:, :, :, :t, :]

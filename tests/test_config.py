@@ -62,16 +62,11 @@ def test_auto_attention_impl_resolves_to_jnp_on_cpu():
 
 
 def test_attention_impl_dropout_resolution():
-    """Reference-legal dropout configs (a001:20-22) must not crash the fused paths.
-
-    pallas / pallas_pack run dropout natively in-kernel (ops/hash_dropout.py);
-    only pallas_block falls back to the jnp path (with a warning)."""
+    """Reference-legal dropout configs (a001:20-22) must not crash the fused paths:
+    every Pallas impl runs dropout natively in-kernel (ops/hash_dropout.py)."""
     from swin_unet_image_fusion_tpu.config import ModelConfig
 
-    cfg = ModelConfig(attention_impl="pallas_block", mlp_drop_ratio=0.1)
-    with pytest.warns(UserWarning, match="does not support dropout"):
-        assert cfg.resolved_attention_impl() == "jnp"
-    for impl in ["pallas", "pallas_pack"]:
+    for impl in ["pallas", "pallas_pack", "pallas_block"]:
         cfg = ModelConfig(attention_impl=impl, mlp_drop_ratio=0.1)
         assert cfg.resolved_attention_impl() == impl
     # zero ratios keep the explicit choice
