@@ -42,15 +42,35 @@ class SpatialFuser:
         import jax.numpy as jnp
 
         self.mesh = mesh or spatial_mesh()
+        self.axis_size = self.mesh.shape[axis_name]
         self.sharding = height_sharding(self.mesh, axis_name)
         self.variables = jax.device_put(variables, NamedSharding(self.mesh, P()))
         self._forward = jax.jit(
             lambda v, a, b: jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0),
             out_shardings=self.sharding,
         )
+        # H not divisible by the mesh: device_put rejects uneven shardings, so the
+        # input is zero-padded to the next multiple and cropped back INSIDE the jit
+        # before the model sees it — the model output is exactly the unsharded one
+        # (GSPMD re-balances the cropped intermediate itself)
+        self._forward_uneven = jax.jit(
+            lambda v, a, b, orig_h: jnp.clip(
+                model.apply(v, a[:, :orig_h], b[:, :orig_h], train=False), 0.0, 1.0
+            ),
+            static_argnums=3,
+        )
 
     def fuse(self, ir, vis_y):
         """ir, vis_y: (B, H, W, 1) float [0,1] host or device arrays."""
+        h = ir.shape[1]
+        pad = (-h) % self.axis_size
+        if pad:
+            import jax.numpy as jnp
+
+            spec = ((0, 0), (0, pad), (0, 0), (0, 0))
+            ir = jax.device_put(jnp.pad(jnp.asarray(ir), spec), self.sharding)
+            vis_y = jax.device_put(jnp.pad(jnp.asarray(vis_y), spec), self.sharding)
+            return self._forward_uneven(self.variables, ir, vis_y, h)
         ir = jax.device_put(ir, self.sharding)
         vis_y = jax.device_put(vis_y, self.sharding)
         return self._forward(self.variables, ir, vis_y)

@@ -31,3 +31,32 @@ def test_spatial_sharded_forward_matches_single_device(rng):
     out = fuser.fuse(ir, vis)
     assert out.sharding.is_equivalent_to(fuser.sharding, out.ndim)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize(
+    "hw",
+    [
+        # non-window-multiple: per-stage reflect pad + shifted-window edge masks
+        # interact with the shard boundary (SURVEY.md §7 "hard parts"); H=100 also
+        # shards unevenly over 8 devices (12.5/shard)
+        (100, 90),
+        # window-multiple stage maps: the wrap-roll (use_wrap) geometry — the
+        # cyclic shift wraps around the GLOBAL image (reference a001:442-444),
+        # which under H sharding becomes a cross-chip permute
+        (224, 224),
+    ],
+)
+def test_spatial_sharded_edge_geometries(rng, hw):
+    model = SwinFusionUNet(TINY)
+    ir = jnp.asarray(rng.random((1, *hw, 1), dtype=np.float32))
+    vis = jnp.asarray(rng.random((1, *hw, 1), dtype=np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, vis)
+
+    ref = jnp.clip(model.apply(variables, ir, vis), 0, 1)
+
+    fuser = SpatialFuser(model, variables, mesh=spatial_mesh(8))
+    out = fuser.fuse(ir, vis)
+    assert out.shape == (1, *hw, 1)
+    # fp32 reduction-order noise only (GSPMD re-associates the LN/softmax sums)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
