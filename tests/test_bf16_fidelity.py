@@ -6,6 +6,7 @@ within 0.1%" criterion is meaningful for the bf16 numbers too.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ TINY = ModelConfig(
 )
 
 
+@pytest.mark.slow
 def test_bf16_output_close_to_fp32(rng):
     ir = jnp.asarray(rng.random((1, 96, 96, 1), dtype=np.float32))
     vis = jnp.asarray(rng.random((1, 96, 96, 1), dtype=np.float32))

@@ -73,6 +73,7 @@ def test_attention_impl_dropout_resolution():
     assert ModelConfig(attention_impl="pallas").resolved_attention_impl() == "pallas"
 
 
+@pytest.mark.slow
 def test_auto_attention_impl_model_runs():
     import numpy as np
     import jax

@@ -102,6 +102,7 @@ def test_kernel_eval_mode_is_dropout_free():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_kernel_mlp_site_expectation():
     """out = y + drop(m): both MLP masks enter linearly and independently, so the
     seed-average of the dropped output is an unbiased estimate of the undropped
@@ -133,6 +134,7 @@ def test_kernel_mlp_site_expectation():
 
 
 @pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.slow
 def test_kernel_dropout_grad_finite_difference(cross):
     """Central FD vs the custom VJP with all three dropout sites active.
 
@@ -238,6 +240,7 @@ def test_fused_block_matches_jnp_composition_without_dropout():
 
 
 @pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.slow
 def test_fused_block_dropout_grad_finite_difference(cross):
     """Central FD vs the custom VJP with all three dropout sites active: the
     backward (on its finer tile grid) must regenerate the forward's exact masks
@@ -325,6 +328,7 @@ def test_nhwc_attn_dropout_deterministic_and_eval():
 
 
 @pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.slow
 def test_nhwc_attn_dropout_grad_finite_difference(cross):
     """FD vs custom VJP with attention dropout on — the backward's finer tile grid
     must regenerate the forward's masks."""

@@ -69,6 +69,7 @@ def test_stacked_dense_module_init_std():
     assert float(jnp.abs(bias).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_full_model_init_stats():
     """Spot-check real model init: attention qkv and final conv stds at torch values."""
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet

@@ -82,6 +82,7 @@ def test_unmerge_conv_matches_classic_chain(h0, w0):
         np.testing.assert_array_equal(np.asarray(got_map), np.asarray(oracle))
 
 
+@pytest.mark.slow
 def test_boundary_ops_differentiable():
     """Both directions are fixed linear maps: gradients round-trip onto exactly
     the real-pixel positions (all-ones cotangent on real tokens -> the number of

@@ -30,6 +30,7 @@ def test_pallas_matches_jnp(rng, shift, cross):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_full_model_forward(rng):
     """Whole tiny model with attention_impl=pallas_interpret == jnp model output."""
     from swin_unet_image_fusion_tpu.config import ModelConfig
@@ -110,6 +111,7 @@ def test_pallas_fused_block_matches_jnp(rng):
             )
 
 
+@pytest.mark.slow
 def test_pallas_fused_block_full_model(rng):
     from swin_unet_image_fusion_tpu.config import ModelConfig
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
@@ -186,6 +188,7 @@ def test_pallas_fused_block_grads(rng, shift, cross):
         )
 
 
+@pytest.mark.slow
 def test_pallas_model_under_data_sharding(rng):
     """The pallas-kernel model runs correctly with batch-sharded inputs on a mesh
     (GSPMD handles the pallas_call; output stays batch-sharded)."""

@@ -61,6 +61,7 @@ def _single_device_grads(cfg: Config, state, ir, vis):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_shard_map_dp_gradients_match_single_device(rng):
     """psum-averaged DP gradients == global-batch gradients, per tensor, <=1e-5."""
     mesh = data_mesh(8)
@@ -112,6 +113,7 @@ def test_shard_map_dp_gradients_match_single_device(rng):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("impl", ["pallas_pack_interpret", "pallas_interpret"])
+@pytest.mark.slow
 def test_shard_map_dp_with_pallas_kernels(rng, impl):
     """The fused-kernel paths compose with the sharded batch axis: the shard_map DP
     step running the Pallas kernels (interpret mode) reproduces the single-device
@@ -151,6 +153,7 @@ def test_shard_map_dp_with_pallas_kernels(rng, impl):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_gspmd_jit_forward_with_pallas_kernels(rng):
     """GSPMD-jitted forward with a batch-sharded input runs the packed kernel path
     (interpret) and matches the jnp forward."""

@@ -19,6 +19,7 @@ TINY = ModelConfig(
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+@pytest.mark.slow
 def test_spatial_sharded_forward_matches_single_device(rng):
     model = SwinFusionUNet(TINY)
     ir = jnp.asarray(rng.random((1, 112, 84, 1), dtype=np.float32))
@@ -47,6 +48,7 @@ def test_spatial_sharded_forward_matches_single_device(rng):
         (224, 224),
     ],
 )
+@pytest.mark.slow
 def test_spatial_sharded_edge_geometries(rng, hw):
     model = SwinFusionUNet(TINY)
     ir = jnp.asarray(rng.random((1, *hw, 1), dtype=np.float32))

@@ -44,6 +44,7 @@ def test_ramp_weights_cover_everywhere():
     np.testing.assert_allclose(total, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_matches_full_in_interior(rng):
     """Tiled fusion equals full-image fusion away from tile borders (window attention
     is local, so a 64px overlap halo covers the model's receptive context)."""
@@ -68,6 +69,7 @@ def test_tiled_matches_full_in_interior(rng):
     assert np.median(c) < 1e-3
 
 
+@pytest.mark.slow
 def test_tiled_runs_on_mesh(rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual devices")

@@ -35,6 +35,7 @@ def _batch(rng, n=4, hw=(28, 28)):
     return ir, vis
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss_and_updates_state(rng):
     state = create_train_state(TINY, jax.random.PRNGKey(0), 10, (28, 28))
     step_fn = make_train_step(TINY, donate=False)
@@ -53,6 +54,7 @@ def test_train_step_reduces_loss_and_updates_state(rng):
     assert 0.0 <= float(fusion.min()) and float(fusion.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_checkpoint_round_trip(tmp_path, rng):
     import orbax.checkpoint as ocp
 
@@ -79,6 +81,7 @@ def test_checkpoint_round_trip(tmp_path, rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(rng):
     """DP over an 8-device mesh must produce the same update as single-device.
 
@@ -129,6 +132,7 @@ def test_data_parallel_matches_single_device(rng):
         )
 
 
+@pytest.mark.slow
 def test_train_step_with_pallas_attention_and_remat(rng):
     """The fused attention kernel (custom VJP) trains under remat; loss matches the
     jnp path on identical weights."""
@@ -151,6 +155,7 @@ def test_train_step_with_pallas_attention_and_remat(rng):
     )
 
 
+@pytest.mark.slow
 def test_training_converges_on_structured_data(rng):
     """~40 steps of the full unsupervised objective on structured synthetic data:
     the loss must drop substantially (the model learns to reproduce bright/edge

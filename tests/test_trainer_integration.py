@@ -47,6 +47,7 @@ def cfg(tmp_path, rng):
     )
 
 
+@pytest.mark.slow
 def test_trainer_full_epoch_with_vali_and_checkpoint(cfg, tmp_path):
     from swin_unet_image_fusion_tpu.train import Trainer
 
@@ -82,6 +83,7 @@ def jax_leaves(tree):
     return jax.tree.leaves(tree)
 
 
+@pytest.mark.slow
 def test_trainer_warns_on_empty_validation_split(cfg, capsys):
     """1% split + drop_last can leave zero full val batches on tiny datasets; the
     trainer must warn and skip instead of silently printing empty means."""
@@ -100,6 +102,7 @@ def test_trainer_warns_on_empty_validation_split(cfg, capsys):
     assert "validation skipped" in out
 
 
+@pytest.mark.slow
 def test_trainer_adjusts_batch_for_mesh(cfg, tmp_path):
     """A batch size that doesn't divide the data mesh is rounded to shard evenly."""
     import dataclasses

@@ -84,6 +84,7 @@ def _jax_run(initial_state, ir_np, vis_np, k, cfg):
 
 
 @pytest.mark.parametrize("k", [K_STEPS])
+@pytest.mark.slow
 def test_k_step_training_dynamics_parity(k):
     rng = np.random.default_rng(0)
     ir_np = rng.random((2, 1, 28, 28), dtype=np.float32)

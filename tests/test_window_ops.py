@@ -184,6 +184,7 @@ def test_rows_per_tile_budget():
     assert rows_per_tile(5, 1000, 56, 4096) == 1
 
 
+@pytest.mark.slow
 def test_model_random_odd_sizes(rng):
     """Property-style: the tiny model round-trips arbitrary sizes (pad plan + shift
     masks at many aspect ratios), finite output in [0,1] after clamp."""
