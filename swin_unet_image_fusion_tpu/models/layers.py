@@ -410,6 +410,10 @@ class BasicBlock(nn.Module):
     # between blocks, unpacks once (ops/pallas_pack.py::repartition_packed)
     packed_io: bool = False
     stage_hw: Optional[Tuple[int, int]] = None
+    # fused re-partition: the packed_io input arrives in the `repart_from` shift
+    # geometry and the kernel re-partitions it to `shift` in its input load
+    # (ops/pallas_pack.py::repart_in_kernel_ok gates eligibility)
+    repart_from: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -509,6 +513,7 @@ class BasicBlock(nn.Module):
                 hw=self.stage_hw,
                 cross=self.cross,
                 shift=self.shift,
+                repart_from=self.repart_from,
                 ln1_scale=ln1_scale,
                 ln1_bias=ln1_bias,
                 attn=attn_params,
@@ -661,10 +666,11 @@ class SelfAndCrossBlockPair(nn.Module):
         if self.strips_io:
             if not impl.startswith("pallas_pack"):
                 raise ValueError("strips_io requires the pallas_pack impl")
-            from ..ops.pallas_pack import repartition_packed
+            from ..ops.pallas_pack import repart_in_kernel_ok, repartition_packed
 
             hw = self.strips_hw
             win = self.window_size
+            fuse_rep = repart_in_kernel_ok(hw, win, False, True)
             strip = dict(
                 packed=True,
                 packed_io=True,
@@ -686,18 +692,34 @@ class SelfAndCrossBlockPair(nn.Module):
             x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(
                 x, deterministic=deterministic
             )
-            x = repartition_packed(x, win, hw, False, True)
-            x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
-                x, deterministic=deterministic
-            )
-            x = repartition_packed(x, win, hw, True, False)
-            x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
-                x, deterministic=deterministic
-            )
-            x = repartition_packed(x, win, hw, False, True)
-            x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
-                x, deterministic=deterministic
-            )
+            if fuse_rep:
+                # the three inter-block re-partitions run inside the next block's
+                # input load (ops/pallas_pack.py repart_from) — no standalone conv
+                x = BasicBlock(
+                    shift=True, cross=False, repart_from=False,
+                    name="self_shift", **strip,
+                )(x, deterministic=deterministic)
+                x = BasicBlock(
+                    shift=False, cross=True, repart_from=True,
+                    name="cross_normal", **strip,
+                )(x, deterministic=deterministic)
+                x = BasicBlock(
+                    shift=True, cross=True, repart_from=False,
+                    name="cross_shift", **strip,
+                )(x, deterministic=deterministic)
+            else:
+                x = repartition_packed(x, win, hw, False, True)
+                x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
+                    x, deterministic=deterministic
+                )
+                x = repartition_packed(x, win, hw, True, False)
+                x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
+                    x, deterministic=deterministic
+                )
+                x = repartition_packed(x, win, hw, False, True)
+                x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
+                    x, deterministic=deterministic
+                )
             return repartition_packed(x, win, hw, True, False)
         if self.cmajor_io:
             if not impl.startswith("pallas_pack"):
@@ -743,29 +765,45 @@ class SelfAndCrossBlockPair(nn.Module):
             # (the round-1 "~35% of the 512^2 profile" plateau, docs/ROADMAP.md)
             from ..ops.pallas_pack import (
                 pack_windows_cmajor,
+                repart_in_kernel_ok,
                 repartition_packed,
                 unpack_windows_cmajor,
             )
 
             hw = (x.shape[3], x.shape[4])
             win = self.window_size
+            fuse_rep = repart_in_kernel_ok(hw, win, False, True)
             strip = dict(packed_io=True, stage_hw=hw, **common)
             x, _ = pack_windows_cmajor(x.astype(self.dtype), win, shift=False)
             x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(
                 x, deterministic=deterministic
             )
-            x = repartition_packed(x, win, hw, False, True)
-            x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
-                x, deterministic=deterministic
-            )
-            x = repartition_packed(x, win, hw, True, False)
-            x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
-                x, deterministic=deterministic
-            )
-            x = repartition_packed(x, win, hw, False, True)
-            x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
-                x, deterministic=deterministic
-            )
+            if fuse_rep:
+                x = BasicBlock(
+                    shift=True, cross=False, repart_from=False,
+                    name="self_shift", **strip,
+                )(x, deterministic=deterministic)
+                x = BasicBlock(
+                    shift=False, cross=True, repart_from=True,
+                    name="cross_normal", **strip,
+                )(x, deterministic=deterministic)
+                x = BasicBlock(
+                    shift=True, cross=True, repart_from=False,
+                    name="cross_shift", **strip,
+                )(x, deterministic=deterministic)
+            else:
+                x = repartition_packed(x, win, hw, False, True)
+                x = BasicBlock(shift=True, cross=False, name="self_shift", **strip)(
+                    x, deterministic=deterministic
+                )
+                x = repartition_packed(x, win, hw, True, False)
+                x = BasicBlock(shift=False, cross=True, name="cross_normal", **strip)(
+                    x, deterministic=deterministic
+                )
+                x = repartition_packed(x, win, hw, False, True)
+                x = BasicBlock(shift=True, cross=True, name="cross_shift", **strip)(
+                    x, deterministic=deterministic
+                )
             x = unpack_windows_cmajor(x, win, hw, shift=True)
         else:
             # self-attention pair: normal then shifted windows

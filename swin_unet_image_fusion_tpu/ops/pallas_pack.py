@@ -86,6 +86,14 @@ WIN64_SCORES = True
 # halos are pure cost (measured -6% on 512^2 inference when forced on).
 WRAP_SHIFT = True
 
+# test/debug hook: when set to a list, _backward appends its raw kernel feature
+# gradients (pre any repart transpose) via io_callback
+_BWD_DEBUG = None
+
+# when False the backward never fuses the repart into its input load and always
+# rematerialises via the standalone conv (test hook for the fallback path)
+REPART_BWD_FUSE = True
+
 
 @functools.lru_cache(maxsize=None)
 def _wrap_profitable(hw: Tuple[int, int], window: Tuple[int, int]) -> bool:
@@ -113,7 +121,8 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
                        num_heads: int = 8,
                        budget_bytes: Optional[int] = None,
                        attn_drop: bool = False,
-                       win64: bool = False) -> int:
+                       win64: bool = False,
+                       repart: bool = False) -> int:
     """Window-pair rows per grid step under a VMEM live-set budget.
 
     With head-batched attention (FUSED_HEAD_MATMULS) the dominant per-pair residents
@@ -131,6 +140,10 @@ def pack_rows_per_tile(n_rows: int, n_pairs_w: int, c: int, hd: int,
         else:
             budget_bytes = (40 << 20) if FUSED_HEAD_MATMULS else (2 << 20)
     per_pair = (c + hd) * LANES * 4
+    if repart:
+        # in-kernel re-partition: up to 4 shifted f32 views of the strip + the
+        # accumulating tap matmuls live alongside the block's own tensors
+        per_pair += 6 * c * LANES * 4
     if win64:
         hk = num_heads * TOK
         per_pair += 2 * hk * LANES * 4                 # s_t + p_t
@@ -513,10 +526,28 @@ def _packed_block_fwd_body(
     fold_mask: bool = False,  # win64 + shared mask: mask pre-added into the bias
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,  # (1,) SMEM f32 hash-dropout seed (only when any rate > 0)
+    repart=None,    # static dict: in-kernel re-partition of the input load
+    x_halo_ref=None,   # (1, nPw, C, 128) adjacent window row of the x strips
+    kv_halo_ref=None,  # same for the kv stream (cross only)
+    taps_ref=None,     # (nTaps, 128, 128) one-hot selector matrices
 ):
     _, tile, c, lanes = x_ref.shape
     x = x_ref[0].astype(jnp.float32)          # (TILE, C, 128)
     kv = kv_ref[0].astype(jnp.float32)
+
+    if repart is not None:
+        # fuse the normal<->shift re-partition into the input load: the strips
+        # arrive in the FROM geometry; 2x2-neighbourhood taps (halo row via the
+        # shifted-index halo ref) + one-hot lane matmuls produce the TO-geometry
+        # windows in VMEM — no standalone conv pass, no relayout copies
+        # (docs/ROADMAP.md session 8b)
+        x = _repart_apply(x, x_halo_ref[0].astype(jnp.float32), taps_ref, **repart)
+        if kv_ref is x_ref:
+            kv = x
+        else:
+            kv = _repart_apply(
+                kv, kv_halo_ref[0].astype(jnp.float32), taps_ref, **repart
+            )
 
     # hash-dropout (ops/hash_dropout.py): masks are a pure function of
     # (seed, site, global pair index, intra-pair offset), so the re-tiled backward
@@ -634,6 +665,10 @@ def _packed_fwd_kernel(*refs, **kw):
         kw = dict(kw, seed_ref=seed_ref)
     else:
         refs, out = refs[:-1], refs[-1]
+    if kw.get("repart") is not None:
+        x_ref, kv_ref, xh, kvh, taps, *rest = refs
+        kw = dict(kw, x_halo_ref=xh, kv_halo_ref=kvh, taps_ref=taps)
+        refs = (x_ref, kv_ref, *rest)
     (x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _packed_block_fwd_body(x_ref, kv_ref, ln1s, ln1b, ln1kvs, ln1kvb, wq, bq, wk, bk,
@@ -647,6 +682,10 @@ def _packed_fwd_kernel_self(*refs, **kw):
         kw = dict(kw, seed_ref=seed_ref)
     else:
         refs, out = refs[:-1], refs[-1]
+    if kw.get("repart") is not None:
+        x_ref, xh, taps, *rest = refs
+        kw = dict(kw, x_halo_ref=xh, taps_ref=taps)
+        refs = (x_ref, *rest)
     (x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
      bias, mask, ln2s, ln2b, w1, b1, w2, b2) = refs
     _packed_block_fwd_body(x_ref, x_ref, ln1s, ln1b, ln1s, ln1b, wq, bq, wk, bk,
@@ -713,6 +752,10 @@ def _packed_block_bwd_body(
     fold_mask: bool = False,
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     seed_ref=None,
+    repart=None,    # static dict: in-kernel re-partition of the input load
+    x_halo_ref=None,   # (1, nPw, C, 128) adjacent window row of the x strips
+    kv_halo_ref=None,  # same for the kv stream (cross only)
+    taps_ref=None,     # (nTaps, 128, 128) one-hot selector matrices
 ):
     """Recompute the packed block in VMEM, then backprop everything (C-major)."""
     _, tile, c, lanes = x_ref.shape
@@ -720,6 +763,18 @@ def _packed_block_bwd_body(
     x = x_ref[0].astype(jnp.float32)
     kv = kv_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
+
+    if repart is not None:
+        # same fused input-load re-partition as the forward (the gradients this
+        # body emits are then w.r.t. the TO-geometry strips; the caller routes
+        # the feature cotangent back through the conv's linear transpose)
+        x = _repart_apply(x, x_halo_ref[0].astype(jnp.float32), taps_ref, **repart)
+        if kv_ref is x_ref:
+            kv = x
+        else:
+            kv = _repart_apply(
+                kv, kv_halo_ref[0].astype(jnp.float32), taps_ref, **repart
+            )
 
     # identical hash-dropout masks to the forward: pair0 uses THIS grid's (finer)
     # tiling but indexes the same global pair sequence, so every mask matches
@@ -923,6 +978,11 @@ def _packed_block_bwd_body(
 
 
 def _packed_bwd_kernel(*refs, **kw):
+    if kw.get("repart") is not None:
+        # splice the halo/taps refs out FIRST so the fixed seed index below holds
+        x_ref, kv_ref, xh, kvh, taps, *rest = refs
+        kw = dict(kw, x_halo_ref=xh, kv_halo_ref=kvh, taps_ref=taps)
+        refs = (x_ref, kv_ref, *rest)
     if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
         # seed is the 24th input (appended after g); outputs follow it
         kw = dict(kw, seed_ref=refs[23])
@@ -940,6 +1000,10 @@ def _packed_bwd_kernel(*refs, **kw):
 
 
 def _packed_bwd_kernel_self(*refs, **kw):
+    if kw.get("repart") is not None:
+        x_ref, xh, taps, *rest = refs
+        kw = dict(kw, x_halo_ref=xh, taps_ref=taps)
+        refs = (x_ref, *rest)
     if any(kw.get("drop_rates", (0.0, 0.0, 0.0))):
         # seed is the 21st input (appended after g); outputs follow it
         kw = dict(kw, seed_ref=refs[20])
@@ -1226,6 +1290,7 @@ def pallas_packed_block_strips(
     interpret: bool = False,
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     drop_seed: Optional[jnp.ndarray] = None,
+    repart_from: Optional[bool] = None,
 ) -> jnp.ndarray:
     """The fused block directly on the packed strip layout.
 
@@ -1235,6 +1300,13 @@ def pallas_packed_block_strips(
     repartitions between the normal/shifted geometries with lane matmuls, and unpacks
     once — instead of 4 pack/unpack transpose chains (the round-1 "35% of the 512^2
     profile is pack/unpack" plateau, docs/ROADMAP.md).
+
+    With ``repart_from`` set, ``xp`` instead arrives packed for the
+    ``repart_from`` shift geometry and the kernel re-partitions it to ``shift`` in
+    its input load (requires :func:`repart_in_kernel_ok`): no standalone conv pass
+    and none of its relayout copies. The backward rematerialises the re-partitioned
+    strips with the conv (:func:`repartition_packed`) and routes the feature
+    cotangent back through its linear transpose, so gradients are exact.
 
     The cross path's kv (the OTHER stream's features) is read from the same packed
     strips through a stream-flipped BlockSpec — no jnp.flip, no second pack.
@@ -1278,11 +1350,25 @@ def pallas_packed_block_strips(
 
     r_t = pack_rows_per_tile(
         nh, np_w, c, hd, num_heads, attn_drop=bool(drop_rates[0]),
-        win64=use_win64,
+        win64=use_win64, repart=repart_from is not None,
     )
     n_tiles = nh // r_t
     tile = r_t * np_w
     n = s * b
+
+    repart = None
+    if repart_from is not None:
+        assert repart_in_kernel_ok((h, w), window, repart_from, shift), (
+            (h, w), window, repart_from, shift,
+        )
+        tap_list, dr_side, dj_side, taps_np = _repart_tap_info(
+            window, repart_from, shift
+        )
+        repart_wrap = use_wrap((h, w), window, True)
+        repart = dict(
+            tap_list=tap_list, dr_side=dr_side, dj_side=dj_side,
+            wrap=repart_wrap, np_w=np_w,
+        )
 
     def to_strips(a):  # (S, B, nH, nPw, C, 128) -> (n*n_tiles, TILE, C, 128)
         return a.reshape(n * n_tiles, tile, c, LANES)
@@ -1355,6 +1441,41 @@ def pallas_packed_block_strips(
 
     inner_p = num_heads * dp
     feat_inputs = [feat, feat_other] if cross else [feat]
+
+    def make_repart_specs(rows_per_tile):
+        # one-row halo ref over the row-granular view (n*nh, nPw, C, 128): reads
+        # ONLY the adjacent window row per grid step (not a whole neighbour tile).
+        # Wrap mode uses modular row indexing (the cyclic halo); pad mode clamps
+        # and the kernel zeroes the edge contribution. Parametrised by the grid's
+        # rows-per-tile so the backward's finer grid reuses it.
+        def halo_row_idx(r):
+            g = (
+                r * rows_per_tile - 1
+                if dr_side == -1 else (r + 1) * rows_per_tile
+            )
+            if repart_wrap:
+                return g % nh
+            return jnp.clip(g, 0, nh - 1)
+
+        def halo_spec(other=False):
+            if other and s == 2:
+                idx = lambda i, r: (
+                    ((1 - i // b) * b + i % b) * nh + halo_row_idx(r), 0, 0, 0,
+                )
+            else:
+                idx = lambda i, r: (i * nh + halo_row_idx(r), 0, 0, 0)
+            return pl.BlockSpec((1, np_w, c, LANES), idx, memory_space=pltpu.VMEM)
+
+        taps_spec = pl.BlockSpec(
+            (len(tap_list), LANES, LANES), lambda i, r: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return (
+            [halo_spec(), halo_spec(other=True), taps_spec]
+            if cross else [halo_spec(), taps_spec]
+        )
+
+    repart_specs = [] if repart is None else make_repart_specs(r_t)
     ln1kv_inputs = (
         [stream_spec((c, 1), other=cross), stream_spec((c, 1), other=cross)]
         if cross else []
@@ -1375,12 +1496,13 @@ def pallas_packed_block_strips(
             stream_spec((c, hd)), stream_spec((c, 1)),
         ]
 
-    in_specs = make_in_specs(feat_inputs, mask_spec)
+    in_specs = make_in_specs([*feat_inputs, *repart_specs], mask_spec)
 
     static = dict(
         num_heads=num_heads, dp=dp, scale=d**-0.5, activation=activation,
         win64=use_win64, fold_mask=fold_mask, drop_rates=drop_rates,
     )
+    fwd_static = dict(static, repart=repart) if repart is not None else static
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
     inner_shapes = dict(
@@ -1392,14 +1514,25 @@ def pallas_packed_block_strips(
         # mask materialised inside the closure: a shared jnp constant would leak as a
         # tracer across the custom_vjp/remat boundary
         mask_arr = jnp.asarray(mask_np)
+        if repart is not None:
+            # halo refs are row-granular views of the SAME strips (free reshape);
+            # the kv halo is the same view read through the stream-flipped spec
+            taps_arr = jnp.asarray(taps_np, jnp.float32)
+            halo = feats[0].reshape(n * nh, np_w, c, LANES)
+            feat_args = (
+                (feats[0], feats[1], halo, halo, taps_arr)
+                if cross else (feats[0], halo, taps_arr)
+            )
+        else:
+            feat_args = feats
         if cross:
-            args = (*feats, ln1s, ln1b, ln1s, ln1b)
+            args = (*feat_args, ln1s, ln1b, ln1s, ln1b)
             kernel = _packed_fwd_kernel
         else:
-            args = (*feats, ln1s, ln1b)
+            args = (*feat_args, ln1s, ln1b)
             kernel = _packed_fwd_kernel_self
         return pl.pallas_call(
-            functools.partial(kernel, **static),
+            functools.partial(kernel, **fwd_static),
             grid=(n, n_tiles),
             in_specs=[*in_specs, seed_spec] if has_drop else in_specs,
             out_specs=feat,
@@ -1418,11 +1551,37 @@ def pallas_packed_block_strips(
          bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra) = res
         mask_arr = jnp.asarray(mask_np)
 
+        if repart is not None:
+            # both backward routes need the repartition conv: as the remat of the
+            # TO-geometry strips when the kernel can't fuse it, and (always) as
+            # the linear map whose transpose routes the feature cotangent back to
+            # the source geometry
+            def rep_src(a):
+                a6 = a.reshape(s, b, nh, np_w, c, LANES)
+                r6 = repartition_packed(a6, window, (h, w), repart_from, shift)
+                return r6.reshape(n * n_tiles, tile, c, LANES)
+
         # finer tiles than the forward: strips re-tile for free via a leading-dim
         # reshape. The head-BATCHED backward keeps ~6 all-head score-sized
         # (TILE, LANES, H*LANES) f32 tensors live (p/g_p/g_s + two matmul results),
         # far fewer than the per-head-loop accounting in bwd_split_factor — use a
         # matching estimate or the bwd degenerates to one pair per grid step.
+        rep_pp = 6 * c * LANES * 4  # in-kernel repart residents per pair
+
+        def pick_f(per_pair, budget, row_aligned):
+            # smallest split factor whose tile fits the budget; row_aligned
+            # additionally keeps whole window rows per tile (in-kernel repart)
+            return next(
+                (
+                    f
+                    for f in range(1, tile + 1)
+                    if tile % f == 0
+                    and (not row_aligned or (tile // f) % np_w == 0)
+                    and (tile // f) * per_pair <= budget
+                ),
+                None,
+            )
+
         if use_win64:
             # score-shaped tensors are (heads*TOK, LANES) — half the 128-lane
             # layout's; the (2*ip, hk) block-diagonal operands and their
@@ -1436,14 +1595,6 @@ def pallas_packed_block_strips(
             if drop_rates[0]:
                 per_pair += 3 * hk * LANES * 4
             budget = 80 << 20
-            f_b = next(
-                (
-                    f
-                    for f in range(1, tile + 1)
-                    if tile % f == 0 and (tile // f) * per_pair <= budget
-                ),
-                tile,
-            )
         elif FUSED_HEAD_MATMULS:
             lanes_all = num_heads * LANES
             per_pair = (
@@ -1455,16 +1606,30 @@ def pallas_packed_block_strips(
                 # attention keep-mask hash + the extra dropped-weights tensor
                 per_pair += 3 * LANES * lanes_all * 4
             budget = 48 << 20
-            f_b = next(
-                (
-                    f
-                    for f in range(1, tile + 1)
-                    if tile % f == 0 and (tile // f) * per_pair <= budget
-                ),
-                tile,
-            )
+        else:
+            per_pair = budget = None
+
+        want_fuse = repart is not None and REPART_BWD_FUSE
+        fuse_bwd = False
+        if per_pair is not None:
+            f_b = None
+            if want_fuse:
+                # prefer fusing the repart into the backward's input load
+                # (whole-row tiles required); fall back to the remat conv
+                f_b = pick_f(per_pair + rep_pp, budget, True)
+                fuse_bwd = f_b is not None
+            if f_b is None:
+                f_b = pick_f(per_pair, budget, False) or tile
         else:
             f_b = bwd_split_factor(tile, LANES, num_heads)
+            fuse_bwd = want_fuse and (tile // f_b) % np_w == 0
+
+        if repart is not None and not fuse_bwd:
+            # rematerialise the re-partitioned strips with the standalone conv
+            # (bit-equal to the kernel's in-VMEM taps: both select exact values)
+            # and run the unmodified backward kernel on them
+            rep_x = rep_src(feats[0])
+            feats = (rep_x, rep_x) if cross else (rep_x,)
         tile_b = tile // f_b
         n_tiles_b = n_tiles * f_b
         feat_b, feat_other_b = feat_spec_pair(n_tiles_b, tile_b)
@@ -1476,7 +1641,10 @@ def pallas_packed_block_strips(
                 memory_space=pltpu.VMEM,
             )
         feat_inputs_b = [feat_b, feat_other_b] if cross else [feat_b]
-        bwd_in_specs = make_in_specs(feat_inputs_b, mask_spec_b)
+        repart_specs_b = make_repart_specs(tile_b // np_w) if fuse_bwd else []
+        bwd_in_specs = make_in_specs(
+            [*feat_inputs_b, *repart_specs_b], mask_spec_b
+        )
 
         def retile(a):
             return a.reshape(n * n_tiles_b, tile_b, c, LANES)
@@ -1484,15 +1652,26 @@ def pallas_packed_block_strips(
         feats = tuple(retile(a) for a in feats)
         g = retile(g)
 
+        if fuse_bwd:
+            # FROM-geometry strips + the row-granular halo view (same data)
+            taps_arr = jnp.asarray(taps_np, jnp.float32)
+            halo = feats[0].reshape(n * nh, np_w, c, LANES)
+            feat_args = (
+                (feats[0], feats[1], halo, halo, taps_arr)
+                if cross else (feats[0], halo, taps_arr)
+            )
+        else:
+            feat_args = feats
         if cross:
-            in_args = (*feats, ln1s, ln1b, ln1s, ln1b)
+            in_args = (*feat_args, ln1s, ln1b, ln1s, ln1b)
             kernel = _packed_bwd_kernel
         else:
-            in_args = (*feats, ln1s, ln1b)
+            in_args = (*feat_args, ln1s, ln1b)
             kernel = _packed_bwd_kernel_self
         n_fg = len(feat_inputs)
+        bwd_static = dict(static, repart=repart) if fuse_bwd else static
         outs = pl.pallas_call(
-            functools.partial(kernel, batch=b, **static),
+            functools.partial(kernel, batch=b, **bwd_static),
             grid=(n, n_tiles_b),
             in_specs=(
                 [*bwd_in_specs, feat_b, seed_spec]
@@ -1547,6 +1726,18 @@ def pallas_packed_block_strips(
         feat_grads = tuple(
             fg.reshape(n * n_tiles, tile, c, LANES) for fg in outs[:n_fg]
         )
+        if _BWD_DEBUG is not None:  # test-only stash of raw kernel feat grads
+            from jax.experimental import io_callback as _io_cb
+
+            for fg in feat_grads:
+                _io_cb(lambda a: _BWD_DEBUG.append(np.asarray(a)), None, fg)
+        if repart is not None:
+            # cotangent w.r.t. the SOURCE strips: transpose of the (linear)
+            # re-partition — reversed taps with transposed selectors, here taken
+            # directly from the conv's transpose rule
+            src_aval = jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), xp.dtype)
+            t_fn = jax.linear_transpose(rep_src, src_aval)
+            feat_grads = tuple(t_fn(fg)[0] for fg in feat_grads)
         (gln1s_q, gln1b_q, gln1s_kv, gln1b_kv,
          gwq, gbq, gwk, gbk, gwv, gbv, gwp, gbp,
          gbias, gln2s, gln2b, gw1, gb1, gw2, gb2) = outs[n_fg:]
@@ -1644,6 +1835,108 @@ def _repartition_matrices(
                 m = mats.setdefault((dr, dj), np.zeros((LANES, LANES), np.float32))
                 m[lane_f, lane_t] = 1.0
     return tuple((dr, dj, m) for (dr, dj), m in sorted(mats.items()))
+
+
+def repart_in_kernel_ok(
+    hw: Tuple[int, int], window: Tuple[int, int], from_shift: bool, to_shift: bool
+) -> bool:
+    """Whether the normal<->shift re-partition can run inside the packed block
+    kernel's input load (docs/ROADMAP.md session 8b: the ~10% e2e lever).
+
+    Requirements of the in-kernel form (which reads a one-row halo ref through
+    shifted BlockSpec index maps and pair-rolls inside the tile):
+
+    - both geometries share the same (nh, nPairsW) grid, so the kernel's grid and
+      the source strips line up one-to-one. With :data:`WRAP_SHIFT` on this holds
+      for every pad-mode geometry (wrap is used exactly where the grids differ);
+    - wrap mode additionally needs no dummy even-rounding rows/columns (the wrap
+      cycle must be the whole strip grid for modular index maps to be the cyclic
+      halo). True for every in-model stage map at the reference configs (224^2
+      training: all real grids even; 512^2: wrap unprofitable -> pad mode).
+
+    Anything else falls back to the standalone conv (:func:`repartition_packed`).
+    """
+    if from_shift == to_shift:
+        return False
+    gf = shift_pad_geometry(hw, window, from_shift)
+    gt = shift_pad_geometry(hw, window, to_shift)
+    if gf[2:] != gt[2:]:
+        return False
+    if use_wrap(hw, window, True):
+        return _wrap_extent(hw, window) == (gf[2], gf[3])
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _repart_tap_info(window: Tuple[int, int], from_shift: bool, to_shift: bool):
+    """Static tap data for the in-kernel re-partition.
+
+    Returns (tap_list, dr_side, dj_side, taps_np):
+    tap_list[i] = (dr, dj) of taps_np[i]; dr/dj take values in {0, dr_side}/{0,
+    dj_side} with dr_side, dj_side in {-1, +1} (the 2x2 neighbourhood of
+    :func:`_repartition_matrices`).
+    """
+    terms = _repartition_matrices(window, from_shift, to_shift)
+    tap_list = tuple((dr, dj) for dr, dj, _ in terms)
+    drs = {dr for dr, _ in tap_list if dr != 0}
+    djs = {dj for _, dj in tap_list if dj != 0}
+    assert len(drs) <= 1 and len(djs) <= 1, (tap_list,)
+    dr_side = drs.pop() if drs else -1
+    dj_side = djs.pop() if djs else -1
+    taps_np = np.stack([m for _, _, m in terms])
+    return tap_list, dr_side, dj_side, taps_np
+
+
+def _repart_apply(
+    own, halo_row, taps_ref, *, np_w, tap_list, dr_side, dj_side, wrap
+):
+    """In-kernel packed re-partition: (TILE, C, LANES) f32 -> same, target geometry.
+
+    ``own`` is the tile's from-geometry strip; ``halo_row`` (nPw, C, LANES) is the
+    adjacent window row (previous row for dr_side=-1, next for +1) read through the
+    row-granular halo ref. Wrap mode's modular halo index map makes it the cyclic
+    halo everywhere; pad mode zero-fills it at the grid edge here (the clamped
+    index map reads a valid row there, which must contribute nothing).
+    All moves are leading-dim slices/concats (free under Mosaic); each tap is one
+    (LANES, LANES) one-hot matmul on the MXU.
+    """
+    tile, c, lanes = own.shape
+    r_t = tile // np_w  # whole-row tiles (the forward always; the backward when
+    # its split factor keeps rows intact — guaranteed by the caller)
+    x4 = own.reshape(r_t, np_w, c, lanes)
+    if not wrap:
+        r_id = pl.program_id(1)
+        edge = (r_id == 0) if dr_side == -1 else (r_id == pl.num_programs(1) - 1)
+        halo_row = jnp.where(edge, jnp.zeros_like(halo_row), halo_row)
+    halo = halo_row[None]                              # (1, nPw, C, LANES)
+    if r_t == 1:
+        rows_sh = halo
+    elif dr_side == -1:
+        rows_sh = jnp.concatenate([halo, x4[:-1]], axis=0)
+    else:
+        rows_sh = jnp.concatenate([x4[1:], halo], axis=0)
+
+    def pshift(a):
+        if dj_side == -1:
+            hp = a[:, -1:] if wrap else jnp.zeros_like(a[:, :1])
+            return hp if np_w == 1 else jnp.concatenate([hp, a[:, :-1]], axis=1)
+        hp = a[:, :1] if wrap else jnp.zeros_like(a[:, -1:])
+        return hp if np_w == 1 else jnp.concatenate([a[:, 1:], hp], axis=1)
+
+    srcs = {(0, 0): x4, (dr_side, 0): rows_sh}
+    if any(dj for _, dj in tap_list):
+        srcs[(0, dj_side)] = pshift(x4)
+        srcs[(dr_side, dj_side)] = pshift(rows_sh)
+    out = None
+    for idx, tap in enumerate(tap_list):
+        a = srcs[tap].reshape(tile, c, lanes)
+        term = jax.lax.dot_general(
+            a, taps_ref[idx].astype(jnp.float32),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
+    return out
 
 
 def repartition_packed(

@@ -124,6 +124,7 @@ def test_packed_block_grad_parity(cross):
         )
 
 
+@pytest.mark.slow
 def test_full_model_packed_matches_jnp():
     """End-to-end: tiny 2-stage model, pallas_pack_interpret vs jnp."""
     from swin_unet_image_fusion_tpu.config import ModelConfig
@@ -150,6 +151,7 @@ def test_full_model_packed_matches_jnp():
     )
 
 
+@pytest.mark.slow
 def test_full_model_cmajor_trunk_grads_and_param_tree():
     """The C-major trunk (boundary pads/merges/skips run (S,B,C,H,W) under
     pallas_pack) must keep the identical param tree (checkpoint compatibility
@@ -233,6 +235,7 @@ def test_packed_block_grad_parity_forced_bwd_split(monkeypatch):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_packed_model_random_odd_sizes(seed):
     """Roll-free shifted packing must match the jnp roll+mask model at arbitrary
     (odd) resolutions, where the edge-window masks differ per size."""
@@ -328,6 +331,96 @@ def test_shift_modes_both_match_jnp(monkeypatch, wrap):
             a = unpack_windows_cmajor(xp_t, (7, 7), hw, t)
             b = unpack_windows_cmajor(xp_t_direct, (7, 7), hw, t)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("hw", [(14, 14), (21, 21)])  # wrap mode / pad mode (+dummy row)
+@pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.parametrize("bwd_fuse", [True, False])  # in-kernel bwd repart / remat conv
+@pytest.mark.slow
+def test_in_kernel_repartition_matches_standalone(hw, cross, bwd_fuse, monkeypatch):
+    """The fused input-load re-partition (repart_from) is bit-equal to the
+    standalone conv (repartition_packed) forward, and real-pixel gradients match
+    — on both backward routes (in-kernel fused repart, and the remat-conv
+    fallback forced via REPART_BWD_FUSE)."""
+    from swin_unet_image_fusion_tpu.ops import pallas_pack as pp
+
+    monkeypatch.setattr(pp, "REPART_BWD_FUSE", bwd_fuse)
+
+    rng = np.random.default_rng(11)
+    s, b, c, heads, d = 2, 1, 24, 4, 6
+
+    def mk(shape, sc=0.1):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * sc)
+
+    params = dict(
+        ln1_scale=jnp.asarray(rng.random((s, c), np.float32)), ln1_bias=mk((s, c)),
+        attn=dict(
+            wq=mk((s, c, heads * d)), bq=mk((s, heads * d)),
+            wk=mk((s, c, heads * d)), bk=mk((s, heads * d)),
+            wv=mk((s, c, heads * d)), bv=mk((s, heads * d)),
+            wp=mk((s, heads * d, c)), bp=mk((s, c)),
+        ),
+        bias=mk((s, 49, 49)),
+        ln2_scale=jnp.asarray(rng.random((s, c), np.float32)), ln2_bias=mk((s, c)),
+        w1=mk((s, c, 4 * c)), b1=mk((s, 4 * c)), w2=mk((s, 4 * c, c)), b2=mk((s, c)),
+    )
+    x = jnp.asarray(rng.random((s, b, c, *hw), np.float32))
+    for frm, to in [(False, True), (True, False)]:
+        assert pp.repart_in_kernel_ok(hw, (7, 7), frm, to)
+        src, _ = pack_windows_cmajor(x, (7, 7), shift=frm)
+        kw = dict(hw=hw, cross=cross, shift=to, window=(7, 7), num_heads=heads,
+                  dims_per_head=d, interpret=True)
+
+        out_ref = pp.pallas_packed_block_strips(
+            pp.repartition_packed(src, (7, 7), hw, frm, to), **kw, **params
+        )
+        out_fused = pp.pallas_packed_block_strips(src, repart_from=frm, **kw, **params)
+        # the re-partitioned values are exact (one-hot selects) but the block body
+        # compiles in a different fusion context -> f32 rounding noise only
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), atol=2e-6, rtol=1e-6
+        )
+
+        # real-pixel gradients (pad lanes / masked dummy positions are don't-care
+        # in BOTH formulations: attention masks them and unpack crops them)
+        cot = jnp.asarray(rng.random((s, b, c, *hw), np.float32))
+
+        def loss(prm, sv, fused):
+            out = (
+                pp.pallas_packed_block_strips(sv, repart_from=frm, **kw, **prm)
+                if fused
+                else pp.pallas_packed_block_strips(
+                    pp.repartition_packed(sv, (7, 7), hw, frm, to), **kw, **prm
+                )
+            )
+            real = unpack_windows_cmajor(out, (7, 7), hw, shift=to)
+            return jnp.sum(real * cot)
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(params, src, False)
+        g_fused = jax.grad(loss, argnums=(0, 1))(params, src, True)
+        for a, bb, path in zip(
+            jax.tree.leaves(g_fused), jax.tree.leaves(g_ref),
+            [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(g_ref)],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), atol=1e-5, rtol=1e-5, err_msg=path
+            )
+
+        # hash dropout composes: the masks key off (seed, site, global pair index)
+        # which repart does not change, so fused == standalone under the same seed
+        if hw == (14, 14) and not cross:
+            dkw = dict(kw, drop_rates=(0.2, 0.1, 0.1),
+                       drop_seed=jnp.asarray(123, jnp.int32))
+            d_ref = pp.pallas_packed_block_strips(
+                pp.repartition_packed(src, (7, 7), hw, frm, to), **dkw, **params
+            )
+            d_fused = pp.pallas_packed_block_strips(
+                src, repart_from=frm, **dkw, **params
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_fused), np.asarray(d_ref), atol=2e-6, rtol=1e-6
+            )
 
 
 def test_wrap_profitability_choice():
