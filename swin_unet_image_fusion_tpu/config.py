@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -47,6 +47,13 @@ class ModelConfig:
     #                    ("pallas") / 13.0 ("jnp") — docs/BENCHMARKS.md
     #   "*_interpret"  — interpreter-mode variants for CPU tests
     attention_impl: str = "auto"
+    # Deep-stage escape hatch: non-packed stages whose attention map has at most
+    # this many tokens (H*W) run the jnp composition instead of the NHWC Pallas
+    # kernel — at tiny maps (48 calls of ~0.48 ms on 28^2/14^2 at 224^2 training,
+    # 18.7% of the step) XLA's fused tiny-matmul code can beat the per-call kernel
+    # overhead. None disables the gate. Numerics class is unchanged (both paths
+    # are parity-tested); set from measurement, see docs/ROADMAP.md.
+    attention_jnp_max_tokens: Optional[int] = None
 
     def resolved_attention_impl(self) -> str:
         """Resolve "auto" against the runtime backend (TPU -> the packed kernels).

@@ -666,11 +666,11 @@ class SelfAndCrossBlockPair(nn.Module):
         if self.strips_io:
             if not impl.startswith("pallas_pack"):
                 raise ValueError("strips_io requires the pallas_pack impl")
-            from ..ops.pallas_pack import repart_in_kernel_ok, repartition_packed
+            from ..ops.pallas_pack import repart_in_kernel_profitable, repartition_packed
 
             hw = self.strips_hw
             win = self.window_size
-            fuse_rep = repart_in_kernel_ok(hw, win, False, True)
+            fuse_rep = repart_in_kernel_profitable(hw, win)
             strip = dict(
                 packed=True,
                 packed_io=True,
@@ -765,14 +765,14 @@ class SelfAndCrossBlockPair(nn.Module):
             # (the round-1 "~35% of the 512^2 profile" plateau, docs/ROADMAP.md)
             from ..ops.pallas_pack import (
                 pack_windows_cmajor,
-                repart_in_kernel_ok,
+                repart_in_kernel_profitable,
                 repartition_packed,
                 unpack_windows_cmajor,
             )
 
             hw = (x.shape[3], x.shape[4])
             win = self.window_size
-            fuse_rep = repart_in_kernel_ok(hw, win, False, True)
+            fuse_rep = repart_in_kernel_profitable(hw, win)
             strip = dict(packed_io=True, stage_hw=hw, **common)
             x, _ = pack_windows_cmajor(x.astype(self.dtype), win, shift=False)
             x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(

@@ -94,6 +94,18 @@ class SwinFusionUNet(nn.Module):
                 if role == "enc"
                 else cfg.in_dims_list[k] * cfg.mlp_hidden_dims_ratio
             )
+            # deep tiny-map escape hatch: below the token threshold the jnp
+            # composition beats the per-call NHWC kernel overhead (config knob,
+            # measured — docs/ROADMAP.md)
+            stage_impl = attention_impl
+            if (
+                cfg.attention_jnp_max_tokens is not None
+                and attention_impl.startswith("pallas")
+                and not stage_cmajor[k]
+                and plan[k].att_hw[0] * plan[k].att_hw[1]
+                <= cfg.attention_jnp_max_tokens
+            ):
+                stage_impl = "jnp"
             return block_cls(
                 streams=STREAMS,
                 dims=dims,
@@ -107,7 +119,7 @@ class SwinFusionUNet(nn.Module):
                 proj_drop_ratio=cfg.linear_after_att_drop_ratio,
                 mlp_drop_ratio=cfg.mlp_drop_ratio,
                 dtype=dtype,
-                impl=attention_impl,
+                impl=stage_impl,
                 strips_io=stage_cmajor[k],
                 strips_hw=plan[k].att_hw if stage_cmajor[k] else None,
                 name=f"{role}{k}_blocks",

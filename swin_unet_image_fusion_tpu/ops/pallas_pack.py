@@ -39,6 +39,7 @@ cropped again after unpacking.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -1865,6 +1866,28 @@ def repart_in_kernel_ok(
     if use_wrap(hw, window, True):
         return _wrap_extent(hw, window) == (gf[2], gf[3])
     return True
+
+
+def repart_in_kernel_profitable(hw: Tuple[int, int], window: Tuple[int, int]) -> bool:
+    """Whether the in-kernel re-partition is a measured WIN (the model's gate).
+
+    Correctness holds wherever :func:`repart_in_kernel_ok` is true, but
+    profitability is geometry-dependent (one-v5e-chip measurements,
+    docs/ROADMAP.md session 9):
+
+    - pad mode (512^2-class maps): the standalone form is a real selector conv
+      that XLA brackets with relayout copies — fusing it into the kernel's input
+      load is +5.4% e2e inference (116.5 -> 122.8 pairs/s at bs=128);
+    - wrap mode (224^2-class maps, all window-multiple grids): the standalone
+      repartition is roll-cheap, while the fused form costs smaller kernel tiles
+      (halo/tap VMEM residents) + in-kernel tap matmuls — measured -2.4% on the
+      224^2 bs=20 train step (130.9 -> 134.1 ms, fwd+bwd both fused).
+    """
+    if os.environ.get("REPART_FUSE", "1") == "0":  # profiling kill-switch
+        return False
+    return repart_in_kernel_ok(hw, window, False, True) and not use_wrap(
+        hw, window, True
+    )
 
 
 @functools.lru_cache(maxsize=None)

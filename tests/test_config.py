@@ -92,3 +92,30 @@ def test_auto_attention_impl_model_runs():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, ir)
     out = model.apply(variables, ir, ir)
     assert out.shape == (1, 16, 16, 1)
+
+
+def test_attention_jnp_max_tokens_gate():
+    """attention_jnp_max_tokens routes sub-threshold non-packed stages to the jnp
+    composition: with every stage gated, a pallas-impl model is bit-identical to
+    the jnp model (same param tree, same ops)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    base = dict(
+        in_dims_list=(1, 128), out_dims_list=(128, 256),  # C>=128: never packed
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    gated = SwinFusionUNet(
+        ModelConfig(attention_impl="pallas", attention_jnp_max_tokens=10_000, **base)
+    )
+    ref = SwinFusionUNet(ModelConfig(attention_impl="jnp", **base))
+    ir = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 1), np.float32))
+    variables = jax.jit(ref.init)(jax.random.PRNGKey(0), ir, ir)
+    # identical param tree: the gated model accepts the jnp model's params
+    out_g = gated.apply(variables, ir, ir)
+    out_r = ref.apply(variables, ir, ir)
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_r))

@@ -37,8 +37,12 @@ def main():
     chain = int(os.environ.get("TRAIN_CHAIN", "4"))
     repeats = int(os.environ.get("TRAIN_REPEATS", "3"))
 
+    jnp_max_tok = os.environ.get("TRAIN_JNP_MAX_TOKENS")
     cfg = Config(
-        model=ModelConfig(compute_dtype=dtype, attention_impl=impl, remat=remat)
+        model=ModelConfig(
+            compute_dtype=dtype, attention_impl=impl, remat=remat,
+            attention_jnp_max_tokens=int(jnp_max_tok) if jnp_max_tok else None,
+        )
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0), iters_per_epoch=100,
                                sample_hw=(hw, hw))
