@@ -49,11 +49,14 @@ class ModelConfig:
     attention_impl: str = "auto"
     # Deep-stage escape hatch: non-packed stages whose attention map has at most
     # this many tokens (H*W) run the jnp composition instead of the NHWC Pallas
-    # kernel — at tiny maps (48 calls of ~0.48 ms on 28^2/14^2 at 224^2 training,
-    # 18.7% of the step) XLA's fused tiny-matmul code can beat the per-call kernel
-    # overhead. None disables the gate. Numerics class is unchanged (both paths
-    # are parity-tested); set from measurement, see docs/ROADMAP.md.
-    attention_jnp_max_tokens: Optional[int] = None
+    # kernel — at tiny maps XLA's fused tiny-matmul code beats the per-call kernel
+    # overhead. Default 49 gates exactly the window-size-7 minimum map (the 7x7
+    # deepest stage of 224^2 training: 130.1 -> 127.4 ms/step measured; 784 — both
+    # deep stages — was a measured LOSS, 137.4). 512^2 maps are all >= 256 tokens,
+    # so inference is unaffected. None disables the gate; "*_interpret" impls are
+    # never gated (they exist to exercise the kernel path in CPU tests). Numerics
+    # class is unchanged (both paths are parity-tested). See docs/ROADMAP.md.
+    attention_jnp_max_tokens: Optional[int] = 49
 
     def resolved_attention_impl(self) -> str:
         """Resolve "auto" against the runtime backend (TPU -> the packed kernels).

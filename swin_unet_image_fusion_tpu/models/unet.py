@@ -96,11 +96,14 @@ class SwinFusionUNet(nn.Module):
             )
             # deep tiny-map escape hatch: below the token threshold the jnp
             # composition beats the per-call NHWC kernel overhead (config knob,
-            # measured — docs/ROADMAP.md)
+            # measured — docs/ROADMAP.md). Interpret-mode impls are exempt: they
+            # exist to exercise the kernel path in CPU tests, where the gate
+            # would silently reroute coverage to jnp.
             stage_impl = attention_impl
             if (
                 cfg.attention_jnp_max_tokens is not None
                 and attention_impl.startswith("pallas")
+                and not attention_impl.endswith("_interpret")
                 and not stage_cmajor[k]
                 and plan[k].att_hw[0] * plan[k].att_hw[1]
                 <= cfg.attention_jnp_max_tokens

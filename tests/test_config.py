@@ -119,3 +119,36 @@ def test_attention_jnp_max_tokens_gate():
     out_g = gated.apply(variables, ir, ir)
     out_r = ref.apply(variables, ir, ir)
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_r))
+
+
+def test_interpret_impls_never_gated():
+    """*_interpret impls are exempt from attention_jnp_max_tokens (default 49):
+    CPU kernel tests must keep exercising the pallas path even at the minimum
+    7x7=49-token map, or the gate would silently reroute their coverage to jnp."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    base = dict(
+        in_dims_list=(1,), out_dims_list=(8,),  # single stage: one 7x7 att map
+        att_num_heads=2, att_dims_per_head_ratio=1 / 2,
+    )
+    ir = jnp.asarray(np.random.default_rng(0).random((1, 7, 7, 1), np.float32))
+
+    def jaxpr_of(cfg):
+        model = SwinFusionUNet(cfg)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), ir, ir)
+        return str(jax.make_jaxpr(lambda v, a, b: model.apply(v, a, b))(
+            variables, ir, ir))
+
+    # interpret impl at a 49-token map: the kernel primitive must still be traced
+    kept = jaxpr_of(ModelConfig(
+        attention_impl="pallas_interpret", attention_jnp_max_tokens=49, **base))
+    assert "pallas_call" in kept
+    # the real impl at the same map IS gated to jnp (the measured train win)
+    gated = jaxpr_of(ModelConfig(
+        attention_impl="pallas", attention_jnp_max_tokens=49, **base))
+    assert "pallas_call" not in gated

@@ -37,11 +37,17 @@ def main():
     chain = int(os.environ.get("TRAIN_CHAIN", "4"))
     repeats = int(os.environ.get("TRAIN_REPEATS", "3"))
 
+    # TRAIN_JNP_MAX_TOKENS: unset -> ModelConfig default (49); "none" -> disable;
+    # integer -> explicit threshold (the A/B knob behind the default's measurement)
     jnp_max_tok = os.environ.get("TRAIN_JNP_MAX_TOKENS")
+    extra = {}
+    if jnp_max_tok is not None:
+        extra["attention_jnp_max_tokens"] = (
+            None if jnp_max_tok.lower() == "none" else int(jnp_max_tok)
+        )
     cfg = Config(
         model=ModelConfig(
-            compute_dtype=dtype, attention_impl=impl, remat=remat,
-            attention_jnp_max_tokens=int(jnp_max_tok) if jnp_max_tok else None,
+            compute_dtype=dtype, attention_impl=impl, remat=remat, **extra,
         )
     )
     state = create_train_state(cfg, jax.random.PRNGKey(0), iters_per_epoch=100,
