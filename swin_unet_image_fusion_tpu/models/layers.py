@@ -375,12 +375,25 @@ def pack_beneficial(c: int, w: int) -> bool:
     big at small per-head dims (batched full-lane projections + fused LN/MLP vs the
     NHWC per-head loop whose d<16-lane outputs underfill the MXU), so mild C-major
     trunk padding (W >= 64, <= 2x) is accepted for C < 128 — measured +10.5% e2e at
-    512^2 from packing the C=96 stage (docs/BENCHMARKS.md)."""
-    import math
+    512^2 from packing the C=96 stage (docs/BENCHMARKS.md).
 
+    C in [128, 256) (the 33M model's C=192 stages) is packed too: measured wins on
+    BOTH hot paths (224^2 train 127.6 -> 121.7 ms/step at the 14^2 map, 512^2
+    bs=128 inference 119.5 -> 124.3 pairs/s at the 32^2 map) — the packed strips
+    keep tokens dense on lanes and run the fused block kernel, while NHWC pays
+    1.33x lane padding plus per-call kernel overhead on tiny maps. C >= 256
+    (C=384, exact 3x128 lanes, 224^2 instance is jnp-gated anyway) is unmeasured
+    and stays NHWC. PACK_C_LIMIT (env) is the A/B override: 128 restores the old
+    rule, 512 would force-pack C=384."""
+    import math
+    import os
+
+    c_limit = int(os.environ.get("PACK_C_LIMIT", "256"))
+    if c >= 128:
+        return c < c_limit
     nhwc_waste = math.ceil(c / 128) * 128 / c
     nchw_waste = math.ceil(w / 128) * 128 / w
-    return c < 128 and (nhwc_waste > nchw_waste or w >= 64)
+    return nhwc_waste > nchw_waste or w >= 64
 
 
 class BasicBlock(nn.Module):

@@ -192,10 +192,14 @@ class SwinFusionUNet(nn.Module):
                 x = to_layout(x, layout, True)
                 x, _ = pack_windows_cmajor(x.astype(dtype), cfg.window_size)
                 layout, strips = True, True
-            elif not stage_cmajor[k] and strips:
-                x = unpack_windows_cmajor(x, cfg.window_size, p.att_hw)
+            elif not stage_cmajor[k] and (strips or layout):
+                # also covers non-contiguous cmajor patterns (a packed stage ABOVE
+                # this one left x in C-major map form after its unmerge)
+                if strips:
+                    x = unpack_windows_cmajor(x, cfg.window_size, p.att_hw)
+                    strips = False
                 x = to_layout(x, True, False)
-                layout, strips = False, False
+                layout = False
             if j > 0:
                 # additive skips, LIFO — a013:221-224; the popped skip comes from
                 # encoder stage k, so it is in this stage's form by construction

@@ -106,7 +106,7 @@ def test_attention_jnp_max_tokens_gate():
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
 
     base = dict(
-        in_dims_list=(1, 128), out_dims_list=(128, 256),  # C>=128: never packed
+        in_dims_list=(1, 128), out_dims_list=(128, 256),  # impl="pallas": no cmajor
         att_num_heads=2, att_dims_per_head_ratio=1 / 2,
     )
     gated = SwinFusionUNet(

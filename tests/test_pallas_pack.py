@@ -81,7 +81,9 @@ def test_packed_block_stage1_dims():
 def test_pack_beneficial_rule():
     assert pack_beneficial(24, 512)       # stage 0 at 512^2
     assert pack_beneficial(96, 128)       # stage 2 at 512^2
-    assert not pack_beneficial(384, 32)   # deep stage: NHWC already fine
+    assert pack_beneficial(192, 14)       # C=192 stages: measured win (both paths)
+    assert pack_beneficial(192, 32)
+    assert not pack_beneficial(384, 32)   # C=384: exact 3x128 lanes, unmeasured
     assert not pack_beneficial(24, 16)    # tiny W: C-major would pad worse
 
 
@@ -138,6 +140,41 @@ def test_full_model_packed_matches_jnp():
         in_dims_list=(1, 8), out_dims_list=(8, 16),
         att_num_heads=2, att_dims_per_head_ratio=1 / 2,
     )
+    ref_model = SwinFusionUNet(ModelConfig(**cfg))
+    params = jax.jit(ref_model.init)(jax.random.PRNGKey(0), ir, vis)
+    out_ref = ref_model.apply(params, ir, vis, train=False)
+
+    pk_model = SwinFusionUNet(
+        ModelConfig(attention_impl="pallas_pack_interpret", **cfg)
+    )
+    out_pk = pk_model.apply(params, ir, vis, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_ref), rtol=3e-5, atol=3e-5
+    )
+
+
+@pytest.mark.slow
+def test_noncontiguous_cmajor_pattern(monkeypatch):
+    """A packed stage BELOW a non-packed one (PACK_C_LIMIT knob, the deep-stage
+    packing experiment): the decoder must convert back to NHWC when it re-enters
+    the non-packed stage — its map is still in C-major form after the packed
+    stage's unmerge. Regression test for the non-contiguous layout-tracking fix
+    in models/unet.py (skips previously added (S,B,C,H,W) to (S,B,H,W,C))."""
+    from swin_unet_image_fusion_tpu.config import ModelConfig
+    from swin_unet_image_fusion_tpu.models.layers import pack_beneficial
+    from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
+
+    monkeypatch.setenv("PACK_C_LIMIT", "256")
+    assert pack_beneficial(192, 7) and not pack_beneficial(96, 14)
+
+    cfg = dict(
+        in_dims_list=(1, 96), out_dims_list=(96, 192),  # stage0 NHWC, stage1 packed
+        att_num_heads=8, att_dims_per_head_ratio=1 / 8,  # the 224^2 deep geometry
+    )
+    rng = np.random.default_rng(11)
+    ir = jnp.asarray(rng.random((1, 28, 28, 1), np.float32))
+    vis = jnp.asarray(rng.random((1, 28, 28, 1), np.float32))
+
     ref_model = SwinFusionUNet(ModelConfig(**cfg))
     params = jax.jit(ref_model.init)(jax.random.PRNGKey(0), ir, vis)
     out_ref = ref_model.apply(params, ir, vis, train=False)
