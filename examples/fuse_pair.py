@@ -4,9 +4,10 @@ Runs with random weights if no checkpoint is given (output is untrained but exer
 the full pipeline: YCrCb split, arbitrary-size forward, colour reconstruction).
 
 Usage:
-    python examples/fuse_pair.py IR_IMAGE VIS_IMAGE OUT_IMAGE [checkpoint]
+    python examples/fuse_pair.py IR_IMAGE VIS_IMAGE OUT_IMAGE [--ckpt DIR] [--cpu]
 """
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -16,14 +17,18 @@ import numpy as np
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--cpu"]
-    ir_path, vis_path, out_path = args[:3]
-    ckpt = args[3] if len(args) > 3 else None
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("ir", help="infrared image (read as grayscale)")
+    ap.add_argument("vis", help="visible image (read as BGR colour)")
+    ap.add_argument("out", help="output path for the fused image")
+    ap.add_argument("--ckpt", default=None, help="Orbax checkpoint dir (or .pth file)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
 
     import cv2
     import jax
 
-    if "--cpu" in sys.argv:
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from swin_unet_image_fusion_tpu.config import Config
@@ -31,8 +36,8 @@ def main():
     from swin_unet_image_fusion_tpu.models.unet import SwinFusionUNet
 
     cfg = Config()
-    if ckpt:
-        fuser = Fuser.from_checkpoint(cfg, ckpt)
+    if args.ckpt:
+        fuser = Fuser.from_checkpoint(cfg, args.ckpt)
     else:
         print("no checkpoint given - using random weights (pipeline demo only)")
         model = SwinFusionUNet(cfg.model)
@@ -42,8 +47,8 @@ def main():
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
         fuser = Fuser(cfg, variables["params"], variables.get("batch_stats", {}))
 
-    ir = cv2.imread(ir_path, cv2.IMREAD_GRAYSCALE)
-    vis = cv2.imread(vis_path, cv2.IMREAD_COLOR)
+    ir = cv2.imread(args.ir, cv2.IMREAD_GRAYSCALE)
+    vis = cv2.imread(args.vis, cv2.IMREAD_COLOR)
     if ir is None or vis is None:
         raise SystemExit("failed to read input images")
     if vis.shape[:2] != ir.shape[:2]:
@@ -53,8 +58,8 @@ def main():
     vis_ycrcb = cv2.cvtColor(vis, cv2.COLOR_BGR2YCrCb)[None].astype(np.float32) / 255.0
 
     rgb = fuser.fuse_pair_ycrcb(ir_in, vis_ycrcb)[0]
-    save_image(rgb, out_path)
-    print(f"fused {ir.shape[1]}x{ir.shape[0]} pair -> {out_path}")
+    save_image(rgb, args.out)
+    print(f"fused {ir.shape[1]}x{ir.shape[0]} pair -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -391,6 +391,8 @@ def pack_beneficial(c: int, w: int) -> bool:
     c_limit = int(os.environ.get("PACK_C_LIMIT", "256"))
     if c >= 128:
         return c < c_limit
+    if os.environ.get("PACK_SMALL_ALL") == "1":  # A/B override: pack every C<128
+        return True
     nhwc_waste = math.ceil(c / 128) * 128 / c
     nchw_waste = math.ceil(w / 128) * 128 / w
     return nhwc_waste > nchw_waste or w >= 64

@@ -187,6 +187,21 @@ def test_noncontiguous_cmajor_pattern(monkeypatch):
         np.asarray(out_pk), np.asarray(out_ref), rtol=3e-5, atol=3e-5
     )
 
+    # gradients through the packed C=192 stage (dph=24 head splits, packed
+    # boundary backward, skip-layout conversion cotangents)
+    from jax.flatten_util import ravel_pytree
+
+    def loss(model):
+        return lambda v: (model.apply(v, ir, vis, train=False) ** 2).sum()
+
+    flat_ref, _ = ravel_pytree(jax.grad(loss(ref_model))(params))
+    flat_pk, _ = ravel_pytree(jax.grad(loss(pk_model))(params))
+    scale = float(jnp.abs(flat_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(flat_pk) / scale, np.asarray(flat_ref) / scale,
+        rtol=1e-4, atol=1e-5,
+    )
+
 
 @pytest.mark.slow
 def test_full_model_cmajor_trunk_grads_and_param_tree():
