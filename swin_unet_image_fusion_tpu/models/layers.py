@@ -393,9 +393,15 @@ def pack_beneficial(c: int, w: int) -> bool:
         return c < c_limit
     if os.environ.get("PACK_SMALL_ALL") == "1":  # A/B override: pack every C<128
         return True
+    # W >= 28 is measured, not derived from the bandwidth ratio: packing C=96@28^2
+    # (4.57x C-major trunk lane waste vs NHWC's 1.33x!) still wins big on-chip
+    # (224^2 train 119.5 -> 107.3 ms/step) because the fused block kernel beats
+    # the NHWC per-head kernels at every measured geometry and the trunk tensors
+    # between quartets are a small fraction of the stage's traffic. Below W=28
+    # (non-headline resolutions only) fall back to the bandwidth comparison.
     nhwc_waste = math.ceil(c / 128) * 128 / c
     nchw_waste = math.ceil(w / 128) * 128 / w
-    return nhwc_waste > nchw_waste or w >= 64
+    return nhwc_waste > nchw_waste or w >= 28
 
 
 class BasicBlock(nn.Module):

@@ -83,6 +83,7 @@ def test_pack_beneficial_rule():
     assert pack_beneficial(96, 128)       # stage 2 at 512^2
     assert pack_beneficial(192, 14)       # C=192 stages: measured win (both paths)
     assert pack_beneficial(192, 32)
+    assert pack_beneficial(96, 28)        # measured: 119.5 -> 107.3 ms/step at 224^2
     assert not pack_beneficial(384, 32)   # C=384: exact 3x128 lanes, unmeasured
     assert not pack_beneficial(24, 16)    # tiny W: C-major would pad worse
 
