@@ -186,6 +186,64 @@ class Config:
     seed: int = 0
 
 
+def _check_key(obj, name: str, dotted_key: str):
+    """Validate ``name`` is a field of ``obj``, erroring with the valid-key list."""
+    names = {f.name for f in dataclasses.fields(obj)}
+    if name not in names:
+        raise ValueError(
+            f"unknown config key {dotted_key!r} ({name!r} is not a field of "
+            f"{type(obj).__name__}); valid keys: {', '.join(sorted(names))}"
+        )
+
+
+def _is_optional_field(obj, name: str) -> bool:
+    """True when the dataclass field's annotation is Optional[...] (accepts None)."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(type(obj))
+    except Exception:
+        return False
+    t = hints.get(name)
+    return (
+        t is not None
+        and typing.get_origin(t) is typing.Union
+        and type(None) in typing.get_args(t)
+    )
+
+
+def _parse_value(value: str, current, optional: bool, dotted_key: str):
+    """Parse a CLI string against the field's current value/type, loudly on mismatch."""
+    import ast
+
+    if optional and value in ("None", "none", "null"):
+        return None
+    if isinstance(current, bool):
+        low = value.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse {value!r} as bool for {dotted_key!r}")
+    if isinstance(current, str):
+        return value
+    try:
+        lit = ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        expected = "a literal" if current is None else type(current).__name__
+        raise ValueError(
+            f"cannot parse {value!r} for {dotted_key!r} (expected {expected})"
+        ) from None
+    if current is None:
+        return lit  # Optional field currently None: take the parsed literal as-is
+    try:
+        return type(current)(lit)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"cannot convert {value!r} to {type(current).__name__} for {dotted_key!r}: {e}"
+        ) from None
+
+
 def _apply_override(cfg, dotted_key: str, raw_value: str):
     """Apply one ``section.key=value`` override, returning a new frozen config."""
     parts = dotted_key.split(".")
@@ -196,24 +254,17 @@ def _apply_override(cfg, dotted_key: str, raw_value: str):
     else:
         raise ValueError(f"override key too deep: {dotted_key}")
 
-    def parse(value: str, current):
-        import ast
-
-        if isinstance(current, bool):
-            return value.lower() in ("1", "true", "yes")
-        if isinstance(current, str):
-            return value
-        try:
-            return type(current)(ast.literal_eval(value))
-        except (ValueError, SyntaxError):
-            return value
-
     if section is None:
+        _check_key(cfg, key, dotted_key)
         current = getattr(cfg, key)
-        return dataclasses.replace(cfg, **{key: parse(raw_value, current)})
+        parsed = _parse_value(raw_value, current, _is_optional_field(cfg, key), dotted_key)
+        return dataclasses.replace(cfg, **{key: parsed})
+    _check_key(cfg, section, dotted_key)
     sub = getattr(cfg, section)
+    _check_key(sub, key, dotted_key)
     current = getattr(sub, key)
-    new_sub = dataclasses.replace(sub, **{key: parse(raw_value, current)})
+    parsed = _parse_value(raw_value, current, _is_optional_field(sub, key), dotted_key)
+    new_sub = dataclasses.replace(sub, **{key: parsed})
     return dataclasses.replace(cfg, **{section: new_sub})
 
 

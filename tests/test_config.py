@@ -47,6 +47,42 @@ def test_cli_rejects_garbage():
         config_from_cli(["a.b.c.d=1"])
 
 
+def test_cli_none_for_optional_field():
+    """model.attention_jnp_max_tokens=None must disable the gate (config.py docs)."""
+    cfg = config_from_cli(["model.attention_jnp_max_tokens=None"])
+    assert cfg.model.attention_jnp_max_tokens is None
+    # and a value round-trips back from None-default-free ints
+    cfg2 = config_from_cli(["model.attention_jnp_max_tokens=784"])
+    assert cfg2.model.attention_jnp_max_tokens == 784
+
+
+def test_cli_none_rejected_for_non_optional_field():
+    with pytest.raises(ValueError):
+        config_from_cli(["optim.lr=None"])
+
+
+def test_cli_unknown_key_errors_with_valid_keys():
+    with pytest.raises(ValueError, match="valid keys"):
+        config_from_cli(["optim.learning_rate=1e-3"])
+    with pytest.raises(ValueError, match="valid keys"):
+        config_from_cli(["optimm.lr=1e-3"])
+    with pytest.raises(ValueError, match="valid keys"):
+        config_from_cli(["sseed=5"])
+
+
+def test_cli_type_errors_are_loud():
+    # non-literal for a float field: no silent raw-string fallback
+    with pytest.raises(ValueError, match="expected float"):
+        config_from_cli(["optim.lr=fast"])
+    # bool garbage errors instead of silently meaning False
+    with pytest.raises(ValueError, match="bool"):
+        config_from_cli(["model.remat=maybe"])
+    # tuples still parse
+    cfg = config_from_cli(["model.window_size=(5,5)", "model.in_dims_list=[1,8]"])
+    assert cfg.model.window_size == (5, 5)
+    assert cfg.model.in_dims_list == (1, 8)
+
+
 def test_dims_per_head_floor():
     cfg = Config().model
     assert [cfg.dims_per_head(d) for d in cfg.out_dims_list] == [3, 6, 12, 24, 48]
