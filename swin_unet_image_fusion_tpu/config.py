@@ -128,6 +128,11 @@ class OptimConfig:
     batch_size: int = 20
     training_set_ratio: float = 0.99
     drop_last: bool = True
+    # Stability guards, OFF by default for reference parity (the lr=1e-2 recipe is
+    # at a stability edge — docs/BENCHMARKS.md trained-quality part 2). See
+    # optim.py::make_optimizer.
+    grad_clip_norm: float = 0.0  # >0 -> optax.clip_by_global_norm
+    skip_nonfinite_updates: bool = False  # -> optax.apply_if_finite
 
 
 @dataclass(frozen=True)

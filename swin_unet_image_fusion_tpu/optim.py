@@ -38,11 +38,28 @@ def cosine_warm_restarts_schedule(
 
 
 def make_optimizer(cfg: OptimConfig, iters_per_epoch: int) -> optax.GradientTransformation:
-    """Adam (torch-default betas/eps) with the reference's restart schedule."""
+    """Adam (torch-default betas/eps) with the reference's restart schedule.
+
+    Two opt-in stability guards, both OFF by default for reference parity (the
+    reference's lr=1e-2 recipe sits at a stability edge — docs/BENCHMARKS.md
+    "trained-quality part 2"; a 20-epoch run blew up at epoch 17 without them):
+
+    - ``grad_clip_norm > 0`` prepends ``optax.clip_by_global_norm``;
+    - ``skip_nonfinite_updates`` wraps the chain in ``optax.apply_if_finite`` so a
+      NaN/Inf gradient step is skipped (params/opt state untouched) instead of
+      poisoning the parameters; training continues from the same state.
+    """
     schedule = cosine_warm_restarts_schedule(
         cfg.lr, cfg.minimum_lr, cfg.scheduler_t0, iters_per_epoch
     )
-    return optax.chain(
+    parts = []
+    if cfg.grad_clip_norm > 0.0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    parts += [
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),  # includes the -1 sign flip
-    )
+    ]
+    tx = optax.chain(*parts)
+    if cfg.skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx

@@ -60,13 +60,20 @@ class TiledFuser:
         overlap: int = 64,
         mesh=None,
         data_axis: str = "data",
+        max_batch: int = 0,
     ):
+        """``max_batch > 0`` runs the tile batch in fixed-size chunks of that many
+        tiles (last chunk padded by repeating its final tile). Every resolution then
+        reuses ONE compiled (max_batch, tile, tile) executable instead of compiling a
+        fresh program per tile count — on the remote-compile TPU runtime a program
+        compile costs minutes, so serving mixed 2K/4K sizes wants a fixed batch."""
         self.model = model
         self.variables = variables
         self.tile = tile
         self.overlap = overlap
         self.mesh = mesh
         self.data_axis = data_axis
+        self.max_batch = max_batch
         self._forward = jax.jit(
             lambda v, a, b: jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0)
         )
@@ -93,20 +100,39 @@ class TiledFuser:
                 tiles_vis.append(vis_y[y0 : y0 + th, x0 : x0 + tw])
         n_tiles = len(tiles_ir)
 
-        # pad the tile batch to a multiple of the device count for even sharding
+        def run_batch(b_ir: np.ndarray, b_vis: np.ndarray) -> np.ndarray:
+            if self.mesh is not None and self.mesh.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(self.data_axis))
+                b_ir = jax.device_put(b_ir, sh)
+                b_vis = jax.device_put(b_vis, sh)
+            return np.asarray(self._forward(self.variables, b_ir, b_vis))
+
         n_dev = self._device_count()
-        pad = (-n_tiles) % n_dev
-        batch_ir = np.stack(tiles_ir + [tiles_ir[-1]] * pad)
-        batch_vis = np.stack(tiles_vis + [tiles_vis[-1]] * pad)
-
-        if self.mesh is not None and self.mesh.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh = NamedSharding(self.mesh, P(self.data_axis))
-            batch_ir = jax.device_put(batch_ir, sh)
-            batch_vis = jax.device_put(batch_vis, sh)
-
-        fused = np.asarray(self._forward(self.variables, batch_ir, batch_vis))[:n_tiles]
+        if self.max_batch:
+            # fixed-size chunks: one compiled executable for every input resolution
+            chunk = self.max_batch
+            assert chunk % n_dev == 0, (chunk, n_dev)
+            outs = []
+            for c0 in range(0, n_tiles, chunk):
+                c_ir = tiles_ir[c0 : c0 + chunk]
+                c_vis = tiles_vis[c0 : c0 + chunk]
+                pad = chunk - len(c_ir)
+                outs.append(
+                    run_batch(
+                        np.stack(c_ir + [c_ir[-1]] * pad),
+                        np.stack(c_vis + [c_vis[-1]] * pad),
+                    )[: len(c_ir)]
+                )
+            fused = np.concatenate(outs, axis=0)
+        else:
+            # pad the tile batch to a multiple of the device count for even sharding
+            pad = (-n_tiles) % n_dev
+            fused = run_batch(
+                np.stack(tiles_ir + [tiles_ir[-1]] * pad),
+                np.stack(tiles_vis + [tiles_vis[-1]] * pad),
+            )[:n_tiles]
 
         wy = _ramp_weights(th, ys, h)
         wx = _ramp_weights(tw, xs, w)

@@ -69,6 +69,23 @@ def test_tiled_matches_full_in_interior(rng):
     assert np.median(c) < 1e-3
 
 
+def test_tiled_chunked_equals_unchunked(rng):
+    """max_batch chunking is bit-equal to the single-batch path: the same tiles run
+    through the same executable shape-for-shape, only grouped differently."""
+    model = SwinFusionUNet(TINY)
+    ir = rng.random((126, 126, 1), dtype=np.float32)
+    vis = rng.random((126, 126, 1), dtype=np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), ir[None, :56, :56], vis[None, :56, :56]
+    )
+    # tile=56, overlap=28 over 126 -> 4x4 = 16 tiles; chunk of 6 exercises padding
+    full = TiledFuser(model, variables, tile=56, overlap=28).fuse(ir, vis)
+    chunked = TiledFuser(model, variables, tile=56, overlap=28, max_batch=6).fuse(
+        ir, vis
+    )
+    np.testing.assert_array_equal(chunked, full)
+
+
 @pytest.mark.slow
 def test_tiled_runs_on_mesh(rng):
     if len(jax.devices()) < 4:
