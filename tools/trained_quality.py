@@ -127,6 +127,8 @@ def run_jax(args):
             lr=args.lr, minimum_lr=args.min_lr, scheduler_t0=args.t0,
             batch_size=args.batch, epochs=args.epochs,
             training_set_ratio=args.train_ratio, drop_last=True,
+            grad_clip_norm=args.clip,
+            skip_nonfinite_updates=args.skip_nonfinite,
         ),
         data=DataConfig(training_dataset_folder=args.data, crop_size=(224, 224)),
         log=LogConfig(
@@ -157,6 +159,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--cpu", action="store_true")
+    # opt-in stability guards (optim.py::make_optimizer; OFF = reference parity)
+    ap.add_argument("--clip", type=float, default=0.0)
+    ap.add_argument("--skip-nonfinite", action="store_true")
     args = ap.parse_args()
     (run_torch if args.side == "torch" else run_jax)(args)
 
