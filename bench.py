@@ -238,8 +238,9 @@ def bench_tiled():
     fuser = TiledFuser(model, variables, tile=512, overlap=64, max_batch=max_batch)
 
     # agreement: tiled vs untiled at 1024^2 (both on the chip)
-    ir = rng.random((1024, 1024, 1)).astype(np.float32)
-    vis = rng.random((1024, 1024, 1)).astype(np.float32)
+    agree_hw = int(os.environ.get("BENCH_TILE_AGREE_HW", "1024"))
+    ir = rng.random((agree_hw, agree_hw, 1)).astype(np.float32)
+    vis = rng.random((agree_hw, agree_hw, 1)).astype(np.float32)
     untiled_fn = jax.jit(
         lambda v, a, b: jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0)
     )
@@ -247,28 +248,44 @@ def bench_tiled():
     tiled = fuser.fuse(ir, vis)
     agreement = float(ssim(tiled[None], untiled[None]))
     _emit(
-        f"tiled-vs-untiled SSIM @1024^2 ({dtype}, tile=512, ov=64)",
+        f"tiled-vs-untiled SSIM @{agree_hw}^2 ({dtype}, tile=512, ov=64)",
         agreement,
         "ssim",
     )
 
-    for h, w, label in [(2048, 2048, "2K"), (2160, 3840, "4K")]:
+    fuser_u8 = TiledFuser(
+        model, variables, tile=512, overlap=64, max_batch=max_batch, return_uint8=True
+    )
+    sizes = [(2048, 2048, "2K"), (2160, 3840, "4K")]
+    if os.environ.get("BENCH_TILE_SIZES"):  # e.g. "640x640" — CPU smoke
+        sizes = [
+            (int(s.split("x")[0]), int(s.split("x")[1]), s)
+            for s in os.environ["BENCH_TILE_SIZES"].split(",")
+        ]
+    for h, w, label in sizes:
         ir = rng.random((h, w, 1)).astype(np.float32)
         vis = rng.random((h, w, 1)).astype(np.float32)
+        ir8 = (ir * 255).astype(np.uint8)
+        vis8 = (vis * 255).astype(np.uint8)
         # the (32, 512, 512) chunk program is already compiled by the agreement check
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = fuser.fuse(ir, vis)
-            best = min(best, time.perf_counter() - t0)
-        assert out.shape == (h, w, 1)
-        mp = h * w / 1e6
-        _emit(
-            f"tiled {label} ({h}x{w}) fusion wall time ({dtype}, tile=512)",
-            best,
-            "s/image",
-            megapixels_per_sec=round(mp / best, 2),
-        )
+        for f, a, b, tag in [
+            (fuser, ir, vis, "fp32 io"),
+            (fuser_u8, ir8, vis8, "uint8 io"),
+        ]:
+            f.fuse(a, b)  # warm the per-resolution extract/blend programs
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                out = f.fuse(a, b)
+                best = min(best, time.perf_counter() - t0)
+            assert out.shape == (h, w, 1)
+            mp = h * w / 1e6
+            _emit(
+                f"tiled {label} ({h}x{w}) fusion wall time ({dtype}, tile=512, {tag})",
+                best,
+                "s/image",
+                megapixels_per_sec=round(mp / best, 2),
+            )
 
 
 def main():

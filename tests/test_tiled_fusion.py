@@ -98,3 +98,28 @@ def test_tiled_runs_on_mesh(rng):
     out = fuser.fuse(ir[0], vis[0])
     assert out.shape == (160, 160, 1)
     assert np.isfinite(out).all()
+
+
+def test_tiled_uint8_transfer_matches_float(rng):
+    """uint8 in / uint8 out (the 8-bit serving path) matches the float path after
+    quantisation: the device converts u8/255 -> f32, fuses identically, and only the
+    final round-to-u8 differs."""
+    model = SwinFusionUNet(TINY)
+    ir8 = (rng.random((126, 126, 1)) * 255).astype(np.uint8)
+    vis8 = (rng.random((126, 126, 1)) * 255).astype(np.uint8)
+    ir = ir8.astype(np.float32) / 255.0
+    vis = vis8.astype(np.float32) / 255.0
+    variables = model.init(
+        jax.random.PRNGKey(0), ir[None, :56, :56], vis[None, :56, :56]
+    )
+    f32 = TiledFuser(model, variables, tile=56, overlap=28).fuse(ir, vis)
+    u8 = TiledFuser(model, variables, tile=56, overlap=28, return_uint8=True).fuse(
+        ir8, vis8
+    )
+    assert u8.dtype == np.uint8
+    want = np.round(np.clip(f32, 0, 1) * 255).astype(np.uint8)
+    diff = np.abs(u8.astype(int) - want.astype(int))
+    # the quantising program may fuse the final *255 differently (last-ulp), which
+    # can flip pixels sitting exactly on a .5 rounding knife-edge by one level
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3

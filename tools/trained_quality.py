@@ -139,7 +139,7 @@ def run_jax(args):
             tensorboard_log_dir=os.path.join(args.out, "jax_tb"),
             print_training_info_in_iters=1,
             vali_interval_in_iters=10**9,  # vali off: quality is scored on the test set
-            save_model_interval_in_epochs=args.epochs,
+            save_model_interval_in_epochs=args.save_every or args.epochs,
         ),
     )
     start_main(cfg)
@@ -159,6 +159,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--cpu", action="store_true")
+    # per-epoch checkpoints (0 = final only) — the reference's own blowup
+    # mitigation is saving every epoch (a016_train.py:104-105, SAVE_MODEL_INTERVAL)
+    ap.add_argument("--save-every", type=int, default=0)
     # opt-in stability guards (optim.py::make_optimizer; OFF = reference parity)
     ap.add_argument("--clip", type=float, default=0.0)
     ap.add_argument("--skip-nonfinite", action="store_true")
