@@ -21,6 +21,7 @@ Numerics parity notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
@@ -687,11 +688,18 @@ class SelfAndCrossBlockPair(nn.Module):
         if self.strips_io:
             if not impl.startswith("pallas_pack"):
                 raise ValueError("strips_io requires the pallas_pack impl")
-            from ..ops.pallas_pack import repart_in_kernel_profitable, repartition_packed
+            from ..ops.pallas_pack import (
+                repart_in_kernel_profitable,
+                repartition_packed_auto,
+            )
 
             hw = self.strips_hw
             win = self.window_size
             fuse_rep = repart_in_kernel_profitable(hw, win)
+            interp = impl.endswith("_interpret")
+            repartition_packed = functools.partial(
+                repartition_packed_auto, interpret=interp
+            )
             strip = dict(
                 packed=True,
                 packed_io=True,
@@ -787,8 +795,12 @@ class SelfAndCrossBlockPair(nn.Module):
             from ..ops.pallas_pack import (
                 pack_windows_cmajor,
                 repart_in_kernel_profitable,
-                repartition_packed,
+                repartition_packed_auto,
                 unpack_windows_cmajor,
+            )
+
+            repartition_packed = functools.partial(
+                repartition_packed_auto, interpret=impl.endswith("_interpret")
             )
 
             hw = (x.shape[3], x.shape[4])

@@ -2070,3 +2070,167 @@ def repartition_packed(
         preferred_element_type=xp.dtype,
     )
     return out.reshape(s, b, nh_t, npw_t, c, LANES)
+
+
+# ---------------------------------------------------------------------------
+# Standalone Pallas re-partition (the conv form's relayout-bracket killer)
+# ---------------------------------------------------------------------------
+#
+# The one-dilated-conv form above is MXU-exact, but XLA assigns the conv a
+# batch-second-minor operand layout its neighbours don't use, bracketing every
+# call with relayout copies (docs/ROADMAP.md session 8b: ~3-4 ms per call at
+# 512^2 bs=128 stage-0 shapes). A Mosaic kernel reads/writes the strips in
+# their native {3,2,1,0} tiling, so the brackets vanish; the arithmetic is the
+# identical tap matmuls (:func:`_repart_apply` — the same body the in-kernel
+# fused form runs). Eligibility is :func:`repart_in_kernel_ok` (equal grids;
+# the wrap cycle must be the whole grid), which holds at every in-model stage
+# geometry of the reference configs; anything else falls back to the conv.
+
+
+def _repart_rows_per_tile(nh: int, np_w: int, c: int) -> int:
+    """Whole strip rows per grid step under a VMEM live-set budget: the body
+    holds ~6 f32 strip views (own + row/pair-shifted + accumulator) plus the
+    bf16 in/out blocks."""
+    per_row = (6 * 4 + 2 * 2) * c * LANES * np_w
+    r = max(1, min(nh, (64 << 20) // max(1, per_row)))
+    while nh % r:
+        r -= 1
+    return r
+
+
+def _repart_standalone_call(
+    xp: jnp.ndarray,
+    window: Tuple[int, int],
+    hw: Tuple[int, int],
+    tap_list,
+    dr_side: int,
+    dj_side: int,
+    taps_np: np.ndarray,
+    wrap: bool,
+    interpret: bool,
+) -> jnp.ndarray:
+    s, b, nh, np_w, c, _ = xp.shape
+    n = s * b
+    r_t = _repart_rows_per_tile(nh, np_w, c)
+    n_tiles = nh // r_t
+    tile = r_t * np_w
+
+    repart = dict(
+        tap_list=tap_list, dr_side=dr_side, dj_side=dj_side,
+        wrap=wrap, np_w=np_w,
+    )
+
+    def kernel(x_ref, halo_ref, taps_ref, o_ref):
+        out = _repart_apply(
+            x_ref[0].astype(jnp.float32),
+            halo_ref[0].astype(jnp.float32),
+            taps_ref,
+            **repart,
+        )
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    def halo_row_idx(r):
+        g = r * r_t - 1 if dr_side == -1 else (r + 1) * r_t
+        if wrap:
+            return g % nh
+        return jnp.clip(g, 0, nh - 1)
+
+    feat = pl.BlockSpec(
+        (1, tile, c, LANES), lambda i, r: (i * n_tiles + r, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo = pl.BlockSpec(
+        (1, np_w, c, LANES), lambda i, r: (i * nh + halo_row_idx(r), 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    taps = pl.BlockSpec(
+        (len(tap_list), LANES, LANES), lambda i, r: (0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[feat, halo, taps],
+        out_specs=feat,
+        out_shape=jax.ShapeDtypeStruct((n * n_tiles, tile, c, LANES), xp.dtype),
+        compiler_params=tpu_compiler_params(),
+        interpret=interpret,
+    )(
+        xp.reshape(n * n_tiles, tile, c, LANES),
+        xp.reshape(n * nh, np_w, c, LANES),
+        jnp.asarray(taps_np, jnp.float32),
+    )
+    return out.reshape(s, b, nh, np_w, c, LANES)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def repartition_packed_pallas(
+    xp: jnp.ndarray,
+    window: Tuple[int, int],
+    hw: Tuple[int, int],
+    from_shift: bool,
+    to_shift: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`repartition_packed` as one Mosaic kernel (equal-grid geometries).
+
+    Bit-equal to the conv form on every lane (each output element is one exact
+    product plus exact zeros, in either form); gradient is the exact linear
+    transpose (the same kernel with negated tap offsets and transposed
+    selector matrices). Requires ``repart_in_kernel_ok(hw, window, ...)``.
+    """
+    assert repart_in_kernel_ok(hw, window, from_shift, to_shift), (
+        hw, window, from_shift, to_shift,
+    )
+    tap_list, dr_side, dj_side, taps_np = _repart_tap_info(
+        window, from_shift, to_shift
+    )
+    wrap = use_wrap(hw, window, True)
+    return _repart_standalone_call(
+        xp, window, hw, tap_list, dr_side, dj_side, taps_np, wrap, interpret
+    )
+
+
+def _repart_pallas_fwd(xp, window, hw, from_shift, to_shift, interpret=False):
+    return (
+        repartition_packed_pallas(xp, window, hw, from_shift, to_shift, interpret),
+        None,
+    )
+
+
+def _repart_pallas_bwd(window, hw, from_shift, to_shift, interpret, _res, g):
+    # exact linear transpose: out[r,p] = sum in[r+dr,p+dj] @ M  =>
+    # d_in[r,p] = sum d_out[r-dr,p-dj] @ M^T (zero- or wrap-read like the fwd)
+    tap_list, dr_side, dj_side, taps_np = _repart_tap_info(
+        window, from_shift, to_shift
+    )
+    tap_list_t = tuple((-dr, -dj) for dr, dj in tap_list)
+    taps_t = np.ascontiguousarray(np.swapaxes(taps_np, 1, 2))
+    wrap = use_wrap(hw, window, True)
+    return (
+        _repart_standalone_call(
+            g, window, hw, tap_list_t, -dr_side, -dj_side, taps_t, wrap, interpret
+        ),
+    )
+
+
+repartition_packed_pallas.defvjp(_repart_pallas_fwd, _repart_pallas_bwd)
+
+
+def repartition_packed_auto(
+    xp: jnp.ndarray,
+    window: Tuple[int, int],
+    hw: Tuple[int, int],
+    from_shift: bool,
+    to_shift: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Route a standalone re-partition to the Mosaic kernel where eligible
+    (``REPART_PALLAS=0`` is the profiling kill-switch), else the conv form."""
+    if os.environ.get("REPART_PALLAS", "1") != "0" and repart_in_kernel_ok(
+        hw, window, from_shift, to_shift
+    ):
+        return repartition_packed_pallas(
+            xp, window, hw, from_shift, to_shift, interpret
+        )
+    return repartition_packed(xp, window, hw, from_shift, to_shift)

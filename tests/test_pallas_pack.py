@@ -488,3 +488,35 @@ def test_wrap_profitability_choice():
     for m in (256, 128, 64, 32):
         assert not pp.use_wrap((m, m), (7, 7), True), m
     assert not pp.use_wrap((112, 112), (7, 7), False)
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (28, 28), (66, 64), (14, 28)])
+@pytest.mark.parametrize("direction", [(False, True), (True, False)])
+def test_repartition_pallas_matches_conv(hw, direction):
+    """The standalone Mosaic re-partition kernel is bit-equal to the conv form,
+    forward AND gradient (the exact linear transpose), at pad- and wrap-mode
+    geometries in both directions."""
+    from swin_unet_image_fusion_tpu.ops.pallas_pack import (
+        repart_in_kernel_ok,
+        repartition_packed,
+        repartition_packed_pallas,
+        shift_pad_geometry,
+    )
+
+    frm, to = direction
+    win = (7, 7)
+    assert repart_in_kernel_ok(hw, win, frm, to), (hw, direction)
+    *_, nh, nw = shift_pad_geometry(hw, win, frm)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 2, nh, nw // 2, 5, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(128), jnp.float32)
+
+    ref = repartition_packed(x, win, hw, frm, to)
+    got = repartition_packed_pallas(x, win, hw, frm, to, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    g_ref = jax.grad(lambda a: (repartition_packed(a, win, hw, frm, to) * w).sum())(x)
+    g_got = jax.grad(
+        lambda a: (repartition_packed_pallas(a, win, hw, frm, to, True) * w).sum()
+    )(x)
+    np.testing.assert_array_equal(np.asarray(g_got), np.asarray(g_ref))
