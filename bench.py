@@ -59,6 +59,9 @@ def _model_config(**overrides):
             att_num_heads=2,
             att_dims_per_head_ratio=1 / 2,
         )
+    tok = os.environ.get("BENCH_JNP_MAX_TOKENS")  # deep-stage jnp-gate A/B knob
+    if tok is not None:
+        kw["attention_jnp_max_tokens"] = None if tok.lower() == "none" else int(tok)
     kw.update(overrides)
     return ModelConfig(**kw)
 
