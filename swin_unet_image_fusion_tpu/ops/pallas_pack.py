@@ -1875,15 +1875,23 @@ def repart_in_kernel_profitable(hw: Tuple[int, int], window: Tuple[int, int]) ->
     profitability is geometry-dependent (one-v5e-chip measurements,
     docs/ROADMAP.md session 9):
 
-    - pad mode (512^2-class maps): the standalone form is a real selector conv
-      that XLA brackets with relayout copies — fusing it into the kernel's input
-      load is +5.4% e2e inference (116.5 -> 122.8 pairs/s at bs=128);
+    - pad mode (512^2-class maps): vs the standalone CONV (which XLA brackets
+      with relayout copies) fusing into the kernel's input load was +5.4% e2e
+      inference (116.5 -> 122.8 pairs/s at bs=128, session 9). Vs the standalone
+      MOSAIC kernel (:func:`repartition_packed_pallas`, session 11 — no conv
+      layout, no brackets) the fusion is a measured LOSS (130.25 vs 131.69
+      pairs/s at 512^2 bs=128): it shrinks the block kernel's tiles (halo/tap
+      VMEM residents) and pays in-kernel tap matmuls, while the standalone
+      kernel shrinks nothing. Fusion therefore only remains profitable when the
+      standalone Pallas route is disabled (``REPART_PALLAS=0`` -> conv form);
     - wrap mode (224^2-class maps, all window-multiple grids): the standalone
-      repartition is roll-cheap, while the fused form costs smaller kernel tiles
-      (halo/tap VMEM residents) + in-kernel tap matmuls — measured -2.4% on the
-      224^2 bs=20 train step (130.9 -> 134.1 ms, fwd+bwd both fused).
+      forms are cheap (roll-assembly conv, or the Mosaic kernel) while fusion
+      measured -2.4% on the 224^2 bs=20 train step (130.9 -> 134.1 ms).
     """
     if os.environ.get("REPART_FUSE", "1") == "0":  # profiling kill-switch
+        return False
+    if os.environ.get("REPART_PALLAS", "1") != "0":
+        # standalone Mosaic repartition active -> in-kernel fusion never wins
         return False
     return repart_in_kernel_ok(hw, window, False, True) and not use_wrap(
         hw, window, True
