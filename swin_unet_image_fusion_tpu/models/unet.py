@@ -139,6 +139,22 @@ class SwinFusionUNet(nn.Module):
         layout = False  # NHWC
         strips = False  # packed normal strips over the current stage's att_hw
 
+        # Packed trunk entry/exit: pack the RAW input map (C = in_dims_list[0],
+        # usually 1) so stage 0 enters through PackedPatchMergeLayer and the
+        # decoder leaves through PackedPatchUnmergeLayer — the classic stage-0
+        # boundary chains (reflect pad / crop on the C-major maps + the
+        # pack/unpack transposes at out_dims_list[0] channels) were the largest
+        # remaining relayout-copy group at 512^2 bs=128 (docs/ROADMAP.md session
+        # 11b). The entry transpose now moves in_dims/out_dims of the bytes.
+        # PACKED_ENTRY=0 is the profiling kill-switch.
+        import os as _os
+
+        packed_entry = stage_cmajor[0] and _os.environ.get("PACKED_ENTRY", "1") != "0"
+        if packed_entry:
+            x = jnp.moveaxis(x, -1, 2)  # (S, B, C0, H, W); free when C0 == 1
+            x, _ = pack_windows_cmajor(x.astype(dtype), cfg.window_size)
+            layout, strips = True, True
+
         # ---------------- encoder ----------------
         skips = []
         for k in range(n):
@@ -206,7 +222,9 @@ class SwinFusionUNet(nn.Module):
                 # (strips over the same normal geometry, or the same map layout)
                 x = x + skips.pop()
             x = stage_blocks(k, "dec")(x, deterministic=deterministic)
-            if strips and k > 0 and stage_cmajor[k - 1]:
+            if strips and (
+                (k > 0 and stage_cmajor[k - 1]) or (k == 0 and packed_entry)
+            ):
                 # packed boundary: undo-crops + anti-merge + repack as one strip op
                 x = PackedPatchUnmergeLayer(
                     streams=STREAMS,
@@ -235,6 +253,10 @@ class SwinFusionUNet(nn.Module):
                 x = crop(x, p.pad_merge)
 
         # ---------------- final head ----------------
+        if strips:
+            # packed_entry left the trunk in C0 strips over the input map
+            x = unpack_windows_cmajor(x, cfg.window_size, plan[0].in_hw)
+            layout, strips = True, False
         x = to_layout(x, layout, False)  # NHWC for the conv head
         xy = jnp.concatenate([x[0], x[1]], axis=-1)  # (B, H, W, 2): [x_stream, y_stream]
         out = FinalHead(
