@@ -34,6 +34,7 @@ Numerics: matmul accumulation and softmax in fp32; masked scores are *set* to -1
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -44,6 +45,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import hash_dropout as hdrop
 from .window import MASK_FILL_VALUE, window_partition, window_unpartition
+
+# Fast in-kernel softmax (fwd/recompute only; every hand-written backward consumes
+# the softmax OUTPUT p, which is max-shift-independent): skip the max-subtraction
+# pass — scores are fp32, the -1e10 mask/pad fill still underflows exp() to exactly
+# 0, and a valid post-LN logit would need to exceed ~88 to overflow — and replace
+# the per-element divide with a reciprocal broadcast-multiply. Removes ~2 of the ~5
+# VPU passes over the score tensors (the measured VPU floor of the small-C stages,
+# docs/ROADMAP.md roofline). Fully-masked rows (dummy windows, pad tokens) get p=0
+# via the denominator epsilon instead of jax.nn.softmax's uniform junk — both are
+# discarded at unpartition. PALLAS_FAST_SOFTMAX=0 restores jax.nn.softmax (A/B).
+FAST_SOFTMAX = os.environ.get("PALLAS_FAST_SOFTMAX", "1") != "0"
+
+
+def fast_softmax(s, axis=-1):
+    """Softmax without the max-subtraction pass (see FAST_SOFTMAX)."""
+    if not FAST_SOFTMAX:
+        return jax.nn.softmax(s, axis=axis)
+    e = jnp.exp(s)
+    return e * (1.0 / (jnp.sum(e, axis=axis, keepdims=True) + jnp.float32(1e-30)))
 
 T_PAD_MULTIPLE = 8  # sublane alignment
 
@@ -274,9 +294,10 @@ def _attention_fwd_kernel(
         k = k.reshape(tile, tp, dims_per_head)
         v = v.reshape(tile, tp, dims_per_head)
 
-        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]      # (TILE, TP, TP)
+        # scale folded into the (smaller) q operand — saves a full score-map pass
+        s = bmm(q * jnp.float32(scale), k, ((2,), (2,))) + bias[None]  # (TILE, TP, TP)
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-        p = jax.nn.softmax(s, axis=-1)
+        p = fast_softmax(s, axis=-1)
         if head_keep is not None:
             p = hdrop.apply_mask(p, head_keep(h), attn_drop_rate)
 
@@ -400,9 +421,11 @@ def _attention_bwd_body(
         k = k2.reshape(tile, tp, dims_per_head)
         v = v2.reshape(tile, tp, dims_per_head)
 
-        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
+        # scale folded into q inline (q itself stays unscaled — the g_q/g_k lines
+        # below contract the UNSCALED q/k and carry their own *scale)
+        s = bmm(q * jnp.float32(scale), k, ((2,), (2,))) + bias[None]
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-        p = jax.nn.softmax(s, axis=-1)  # (TILE, TP, TP)
+        p = fast_softmax(s, axis=-1)  # (TILE, TP, TP)
         if head_keep is not None:
             keep = head_keep(h)
             p_use = hdrop.apply_mask(p, keep, attn_drop_rate)

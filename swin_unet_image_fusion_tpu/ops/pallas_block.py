@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import hash_dropout as hdrop
 from .pallas_attention import (
     _full_mask,
+    fast_softmax,
     _padded_t,
     _shift_edge_mask,
     bwd_split_factor,
@@ -147,9 +148,10 @@ def _block_fwd_body(
         k = k.reshape(tile, tp, dims_per_head)
         v = v.reshape(tile, tp, dims_per_head)
 
-        s = bmm(q, k, ((2,), (2,))) * scale + bias[None]
+        # scale folded into the (smaller) q operand — saves a full score-map pass
+        s = bmm(q * jnp.float32(scale), k, ((2,), (2,))) + bias[None]
         s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-        p = jax.nn.softmax(s, axis=-1)
+        p = fast_softmax(s, axis=-1)
         if site_keep is not None and rate_a > 0:
             p = hdrop.apply_mask(
                 p, site_keep(hdrop.SITE_ATTN, (tp, tp), rate_a, h * tp * tp), rate_a
@@ -339,9 +341,10 @@ def _block_bwd_body(
         q = (mm(ln_x, wq) + bq_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
         k = (mm(ln_kv, wk) + bk_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
         v = (mm(ln_kv, wv) + bv_ref[0, h, 0].astype(jnp.float32)).reshape(tile, tp, dims_per_head)
-        sc = bmm(q, k, ((2,), (2,))) * scale_qk + bias[None]
+        # scale folded into q inline (q stays unscaled for the *scale_qk grad lines)
+        sc = bmm(q * jnp.float32(scale_qk), k, ((2,), (2,))) + bias[None]
         sc = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), sc)
-        p = jax.nn.softmax(sc, axis=-1)
+        p = fast_softmax(sc, axis=-1)
         if site_keep is not None and rate_a > 0:
             p_use = hdrop.apply_mask(
                 p, site_keep(hdrop.SITE_ATTN, (tp, tp), rate_a, h * tp * tp), rate_a

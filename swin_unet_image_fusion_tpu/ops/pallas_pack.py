@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import hash_dropout as hdrop
-from .pallas_attention import bwd_split_factor, tpu_compiler_params
+from .pallas_attention import bwd_split_factor, fast_softmax, tpu_compiler_params
 from .window import MASK_FILL_VALUE
 
 LN_EPS = 1e-5
@@ -71,6 +71,12 @@ FUSED_HEAD_MATMULS = True
 # path and an 8-aligned all-head inner dim (sublane slices/concats). Module flag
 # for A/B benchmarking.
 WIN64_SCORES = True
+
+# Fast in-kernel softmax: no max-subtraction pass, reciprocal-multiply instead of
+# divide — see pallas_attention.FAST_SOFTMAX (PALLAS_FAST_SOFTMAX=0 restores
+# jax.nn.softmax). Safe here because the hand-written backwards consume only the
+# softmax OUTPUT p, which is max-shift-independent.
+_softmax = fast_softmax
 
 # Wrap-roll shifted windows (the reference's torch.roll formulation, rolled over the
 # window-multiple extent): the shifted geometry keeps the UNSHIFTED window grid —
@@ -205,14 +211,16 @@ def _headbatched_attention(
     bd = (row_head == col_head)[None]                       # (1, IP, H*LANES)
 
     k_bd = jnp.where(bd, jnp.concatenate([k_all] * num_heads, axis=2), 0.0)
-    s_all = bmm(q_all, k_bd, ((1,), (1,))) * scale          # (T, LANES, H*LANES)
+    # scale folded into q (one pass over the smaller q tensor, not the scores);
+    # the grads fn receives the caller's UNSCALED q_all, so its *scale terms stand
+    s_all = bmm(q_all * jnp.float32(scale), k_bd, ((1,), (1,)))  # (T, LANES, H*LANES)
     s_all = s_all + jnp.concatenate([bias] * num_heads, axis=-1)[None]
     mask_t = jnp.concatenate([mask] * num_heads, axis=-1)
     s_all = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), s_all)
 
     p_cat = jnp.concatenate(
         [
-            jax.nn.softmax(s_all[:, :, h * LANES : (h + 1) * LANES], axis=-1)
+            _softmax(s_all[:, :, h * LANES : (h + 1) * LANES], axis=-1)
             for h in range(num_heads)
         ],
         axis=2,
@@ -387,9 +395,16 @@ def _win64_attention(
     pre-transposed from :func:`_packed_bias_t` / :func:`_packed_mask_t`.
     """
     ip = num_heads * dp
-    q_bd, k_bd2, v_bd2, lane_w = _win64_build(q_all, k_all, v_all, num_heads, dp)
+    # fold the attention scale into q BEFORE the score matmul: one VPU pass over
+    # the (TILE, 2*ip, LANES) q tensor instead of one over the 64/dp-times-larger
+    # (TILE, heads*TOK, LANES) score tensor. The residual q_bd is therefore
+    # PRE-SCALED: _win64_attention_grads keeps *scale on the g_q path (ds/dq is
+    # scale*k) and drops it on the g_k path (q_bd already carries it).
+    q_bd, k_bd2, v_bd2, lane_w = _win64_build(
+        q_all * jnp.float32(scale), k_all, v_all, num_heads, dp
+    )
 
-    s_t = _bmm(k_bd2, q_bd, ((1,), (1,))) * scale
+    s_t = _bmm(k_bd2, q_bd, ((1,), (1,)))
 
     # bias and mask rows are identical for every head (the table is shared across
     # heads, a001:72-82; validity doesn't depend on the head), so both come in
@@ -403,7 +418,7 @@ def _win64_attention(
         sl = s_t[:, h * TOK : (h + 1) * TOK, :] + bias_t[None]
         if mask_t is not None:
             sl = jnp.where(mask_t != 0, jnp.float32(MASK_FILL_VALUE), sl)
-        return jax.nn.softmax(sl, axis=1)
+        return _softmax(sl, axis=1)
 
     p_t = jnp.concatenate([head_block(h) for h in range(num_heads)], axis=1)
     p_use = hdrop.apply_mask(p_t, *drop) if drop is not None else p_t
@@ -460,7 +475,8 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
         jnp.where(lane_w == 0, g_qbd[:, :ip, :], 0.0)
         + jnp.where(lane_w == 1, g_qbd[:, ip:, :], 0.0)
     )
-    g_kbd = _bmm(q_bd, g_s, ((2,), (2,))) * scale           # (TILE, 2*ip, hk)
+    # q_bd in res is PRE-SCALED (the forward folds scale into q) — no extra *scale
+    g_kbd = _bmm(q_bd, g_s, ((2,), (2,)))                   # (TILE, 2*ip, hk)
     g_vbd = _bmm(g_av_bd, p_use, ((2,), (2,)))
 
     if _win64_roll_ok(num_heads):
@@ -618,9 +634,9 @@ def _packed_block_fwd_body(
             q = q_all[:, sl, :]               # (TILE, dp, 128)
             k = k_all[:, sl, :]
             v = v_all[:, sl, :]
-            s = bmm(q, k, ((1,), (1,))) * scale + bias[None]   # (TILE, 128, 128)
+            s = bmm(q * jnp.float32(scale), k, ((1,), (1,))) + bias[None]  # (TILE, 128, 128)
             s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-            p = jax.nn.softmax(s, axis=-1)
+            p = _softmax(s, axis=-1)
             av_heads.append(bmm(v, p, ((2,), (2,))))           # (TILE, dp, 128)
         av_all = jnp.concatenate(av_heads, axis=1)         # (TILE, heads*dp, 128)
 
@@ -861,9 +877,9 @@ def _packed_block_bwd_body(
             q = q_all[:, sl, :]
             k = k_all[:, sl, :]
             v = v_all[:, sl, :]
-            s = bmm(q, k, ((1,), (1,))) * scale + bias[None]
+            s = bmm(q * jnp.float32(scale), k, ((1,), (1,))) + bias[None]  # (TILE, 128, 128)
             s = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), s)
-            p = jax.nn.softmax(s, axis=-1)
+            p = _softmax(s, axis=-1)
             av_heads.append(bmm(v, p, ((2,), (2,))))
             heads_p.append(p)
         av_all = jnp.concatenate(av_heads, axis=1)
