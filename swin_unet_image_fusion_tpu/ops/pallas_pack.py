@@ -78,6 +78,17 @@ WIN64_SCORES = True
 # softmax OUTPUT p, which is max-shift-independent.
 _softmax = fast_softmax
 
+# EXPERIMENT (A/B via env): cast matmul operands to bf16 inside the packed kernels.
+# The kernel bodies compute in f32 (LN/softmax); operands reach the MXU as f32,
+# which Mosaic may lower as multi-pass. PACK_MM_BF16=1 casts every bmm operand to
+# bf16 (f32 accumulate via preferred_element_type) — matches the NHWC/block
+# kernels' explicit .astype(dtype) and XLA's default precision outside kernels.
+MM_BF16 = os.environ.get("PACK_MM_BF16", "0") == "1"
+
+
+def _mm_cast(a):
+    return a.astype(jnp.bfloat16) if MM_BF16 else a
+
 # Wrap-roll shifted windows (the reference's torch.roll formulation, rolled over the
 # window-multiple extent): the shifted geometry keeps the UNSHIFTED window grid —
 # (top, left) become cyclic roll amounts instead of zero-pad amounts, and the wrap
@@ -202,7 +213,7 @@ def _headbatched_attention(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -250,7 +261,7 @@ def _headbatched_attention_grads(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -295,7 +306,7 @@ def _headbatched_attention_grads(
 
 def _bmm(a, b, contract):
     return jax.lax.dot_general(
-        a, b, dimension_numbers=(contract, ((0,), (0,))),
+        _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
 
@@ -510,6 +521,7 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
     return g_q_all, unbd2(g_kbd), unbd2(g_vbd), g_bias_t
 
 
+
 def _packed_block_fwd_body(
     x_ref,        # (1, TILE, C, 128)
     kv_ref,       # (1, TILE, C, 128) (cross) or x_ref (self)
@@ -598,7 +610,7 @@ def _packed_block_fwd_body(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -819,7 +831,7 @@ def _packed_block_bwd_body(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(contract, ((0,), (0,))),
+            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
