@@ -268,3 +268,39 @@ def test_bwd_split_factor_retiled_grads(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(g_pl_x), np.asarray(g_ref_x), atol=5e-5, rtol=1e-3)
     for a, b in zip(jax.tree.leaves(g_ref_p), jax.tree.leaves(g_pl_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3)
+
+
+def test_fast_softmax_matches_reference():
+    """fast_softmax == jax.nn.softmax on finite logits; exact 0 rows (not uniform
+    junk) where every logit carries the -1e10 mask fill (dummy windows/pad tokens)."""
+    from swin_unet_image_fusion_tpu.ops import pallas_attention as pa
+    from swin_unet_image_fusion_tpu.ops.window import MASK_FILL_VALUE
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(0.0, 8.0, (4, 56, 56)).astype(np.float32))
+    got = pa.fast_softmax(s, axis=-1)
+    want = jax.nn.softmax(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    # partially masked rows: masked entries exactly 0, valid entries match
+    s_masked = s.at[:, :, 40:].set(jnp.float32(MASK_FILL_VALUE))
+    got = np.asarray(pa.fast_softmax(s_masked, axis=-1))
+    want = np.asarray(jax.nn.softmax(s_masked, axis=-1))
+    assert (got[:, :, 40:] == 0.0).all()
+    np.testing.assert_allclose(got[:, :, :40], want[:, :, :40], atol=2e-6)
+
+    # fully masked rows: p = 0 everywhere (the epsilon denominator), no NaN/inf
+    s_all = jnp.full((2, 8, 56), jnp.float32(MASK_FILL_VALUE))
+    got = np.asarray(pa.fast_softmax(s_all, axis=-1))
+    assert np.isfinite(got).all() and (got == 0.0).all()
+
+    # the flag restores jax.nn.softmax exactly
+    orig = pa.FAST_SOFTMAX
+    try:
+        pa.FAST_SOFTMAX = False
+        np.testing.assert_array_equal(
+            np.asarray(pa.fast_softmax(s, axis=-1)),
+            np.asarray(jax.nn.softmax(s, axis=-1)),
+        )
+    finally:
+        pa.FAST_SOFTMAX = orig
