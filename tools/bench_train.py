@@ -106,17 +106,30 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     ms_per_step = best / chain * 1e3
-    print(
-        json.dumps(
-            {
-                "metric": f"train step {hw}x{hw} bs={batch} ({dtype}, {impl}, remat={remat})",
-                "ms_per_step": round(ms_per_step, 1),
-                "pairs_per_sec": round(batch / (ms_per_step / 1e3), 2),
-                "loss": round(first, 5),
-                "compile_s": round(compile_s, 1),
-            }
-        )
+    pairs_per_sec = batch / (ms_per_step / 1e3)
+    # roofline: fwd matmul/conv FLOPs x3 for the bwd (dL/dx + dL/dW each re-run
+    # every contraction once — the standard fwd:bwd = 1:2 accounting); the SSIM/
+    # Sobel loss banks and all elementwise work are excluded, same convention as
+    # bench.py's inference MFU (utils/flops.py docstring)
+    from swin_unet_image_fusion_tpu.utils.flops import (
+        V5E_BF16_PEAK_TFLOPS, mfu, model_flops_per_pair,
     )
+
+    step_flops = 3 * model_flops_per_pair(cfg.model, (hw, hw))["total"]
+    tflops, frac = mfu(pairs_per_sec, step_flops)
+    out = {
+        "metric": f"train step {hw}x{hw} bs={batch} ({dtype}, {impl}, remat={remat})",
+        "ms_per_step": round(ms_per_step, 1),
+        "pairs_per_sec": round(pairs_per_sec, 2),
+        "loss": round(first, 5),
+        "compile_s": round(compile_s, 1),
+        "flops_per_pair_fwdbwd": round(step_flops / 1e9, 2),  # GFLOP, matmul/conv
+        "tflops": round(tflops, 2),
+    }
+    if dtype == "bfloat16":
+        out["pct_of_bf16_peak"] = round(100.0 * frac, 2)
+        out["peak_tflops"] = V5E_BF16_PEAK_TFLOPS
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
