@@ -338,9 +338,16 @@ def _win64_lane_w():
     return jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2) // TOK
 
 
+# A/B knob: force the selector-MATMUL k/v build even where the roll build is
+# legal. The roll build is ~8x cheaper in isolation, but it runs on the VPU —
+# the packed kernels' bound unit — while the selector matmuls run on the
+# (mostly idle) MXU, so the e2e winner is an empirical question per chip.
+_FORCE_SELBUILD = os.environ.get("PACK_WIN64_SELBUILD", "0") == "1"
+
+
 def _win64_roll_ok(num_heads: int) -> bool:
     """The lane-roll build needs heads*TOK to be whole 128-lane blocks."""
-    return (num_heads * TOK) % LANES == 0
+    return not _FORCE_SELBUILD and (num_heads * TOK) % LANES == 0
 
 
 def _win64_build(q_all, k_all, v_all, num_heads, dp):
