@@ -78,16 +78,10 @@ WIN64_SCORES = True
 # softmax OUTPUT p, which is max-shift-independent.
 _softmax = fast_softmax
 
-# EXPERIMENT (A/B via env): cast matmul operands to bf16 inside the packed kernels.
-# The kernel bodies compute in f32 (LN/softmax); operands reach the MXU as f32,
-# which Mosaic may lower as multi-pass. PACK_MM_BF16=1 casts every bmm operand to
-# bf16 (f32 accumulate via preferred_element_type) — matches the NHWC/block
-# kernels' explicit .astype(dtype) and XLA's default precision outside kernels.
-MM_BF16 = os.environ.get("PACK_MM_BF16", "0") == "1"
-
-
-def _mm_cast(a):
-    return a.astype(jnp.bfloat16) if MM_BF16 else a
+# Casting bmm operands to bf16 inside the packed kernels was A/B'd and REMOVED:
+# a measured -1.6% at 512^2 bs=128 (docs/ROADMAP.md session-12 dead ends) — the
+# kernel bodies compute in f32 (LN/softmax) and Mosaic's f32 MXU passes are not
+# the bottleneck. Do not re-attempt.
 
 # Wrap-roll shifted windows (the reference's torch.roll formulation, rolled over the
 # window-multiple extent): the shifted geometry keeps the UNSHIFTED window grid —
@@ -213,7 +207,7 @@ def _headbatched_attention(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -261,7 +255,7 @@ def _headbatched_attention_grads(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -306,7 +300,7 @@ def _headbatched_attention_grads(
 
 def _bmm(a, b, contract):
     return jax.lax.dot_general(
-        _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
+        a, b, dimension_numbers=(contract, ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
 
@@ -528,7 +522,6 @@ def _win64_attention_grads(g_av_all, res, num_heads, dp, scale, drop=None):
     return g_q_all, unbd2(g_kbd), unbd2(g_vbd), g_bias_t
 
 
-
 def _packed_block_fwd_body(
     x_ref,        # (1, TILE, C, 128)
     kv_ref,       # (1, TILE, C, 128) (cross) or x_ref (self)
@@ -617,7 +610,7 @@ def _packed_block_fwd_body(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
@@ -838,7 +831,7 @@ def _packed_block_bwd_body(
 
     def bmm(a, b, contract):
         return jax.lax.dot_general(
-            _mm_cast(a), _mm_cast(b), dimension_numbers=(contract, ((0,), (0,))),
+            a, b, dimension_numbers=(contract, ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
