@@ -530,7 +530,19 @@ class BasicBlock(nn.Module):
         bias = gather_relative_position_bias(attn_params["table"], self.window_size)
 
         if self.packed_io:
-            return pallas_packed_block_strips(
+            from ..ops.pallas_pack_spmd import (
+                pallas_packed_block_strips_spmd,
+                spatial_spmd_active,
+            )
+
+            # spatial sharding (parallel/spatial.py): the GSPMD-partitionable
+            # wrapper runs the identical kernel per row shard with sharded masks
+            block_fn = (
+                pallas_packed_block_strips_spmd
+                if spatial_spmd_active()
+                else pallas_packed_block_strips
+            )
+            return block_fn(
                 x.astype(self.dtype),
                 hw=self.stage_hw,
                 cross=self.cross,
@@ -693,9 +705,14 @@ class SelfAndCrossBlockPair(nn.Module):
                 repartition_packed_auto,
             )
 
+            from ..ops.pallas_pack_spmd import spatial_spmd_active
+
             hw = self.strips_hw
             win = self.window_size
-            fuse_rep = repart_in_kernel_profitable(hw, win)
+            # in-kernel repartition fuses a halo read into one shard's tiles —
+            # never under spatial sharding (the standalone kernel's partitioned
+            # lowering owns the cross-shard halo)
+            fuse_rep = repart_in_kernel_profitable(hw, win) and not spatial_spmd_active()
             interp = impl.endswith("_interpret")
             repartition_packed = functools.partial(
                 repartition_packed_auto, interpret=interp
@@ -766,7 +783,17 @@ class SelfAndCrossBlockPair(nn.Module):
             s_, b_, h_, w_, c_ = x.shape
             packed = pack_beneficial(c_, w_)
             if not packed:
-                impl = "pallas_interpret" if impl.endswith("interpret") else "pallas"
+                from ..ops.pallas_pack_spmd import spatial_spmd_active
+
+                if spatial_spmd_active():
+                    # spatial sharding: the NHWC kernels have no partitioned
+                    # lowering — the jnp composition is GSPMD-exact and these
+                    # deep tiny maps are a small slice of the work
+                    impl = "jnp"
+                else:
+                    impl = (
+                        "pallas_interpret" if impl.endswith("interpret") else "pallas"
+                    )
         common = dict(
             streams=self.streams,
             dims=self.dims,
@@ -805,7 +832,7 @@ class SelfAndCrossBlockPair(nn.Module):
 
             hw = (x.shape[3], x.shape[4])
             win = self.window_size
-            fuse_rep = repart_in_kernel_profitable(hw, win)
+            fuse_rep = repart_in_kernel_profitable(hw, win) and not spatial_spmd_active()
             strip = dict(packed_io=True, stage_hw=hw, **common)
             x, _ = pack_windows_cmajor(x.astype(self.dtype), win, shift=False)
             x = BasicBlock(shift=False, cross=False, name="self_normal", **strip)(

@@ -1271,6 +1271,36 @@ def _packed_mask_t(
     return np.concatenate(blocks, axis=2), n         # (n, TOK, LANES)
 
 
+def strips_use_win64(num_heads: int, dims_per_head: int) -> bool:
+    """Mirror of the kernel's transposed-score-layout predicate (spmd helper)."""
+    dp = dims_per_head if FUSED_HEAD_MATMULS else _dp_pad(dims_per_head)
+    return WIN64_SCORES and FUSED_HEAD_MATMULS and (num_heads * dp) % 8 == 0
+
+
+def packed_mask_rows(
+    hw: Tuple[int, int],
+    window: Tuple[int, int],
+    shift: bool,
+    num_heads: int,
+    dims_per_head: int,
+) -> Tuple[np.ndarray, bool]:
+    """Global per-pair masks shaped (nh, nPairsW, *mask_inner) for the
+    ``mask_rows`` operand of :func:`pallas_packed_block_strips` — the layout a
+    row-sharded partitioned call slices along axis 0. Returns (mask, shared):
+    when the geometry's mask is shared across pairs (mask_n == 1) the mask is
+    (1, 1, *mask_inner) and must ride replicated, not sharded."""
+    wrap = use_wrap(hw, window, shift)
+    if strips_use_win64(num_heads, dims_per_head):
+        mask_np, mask_n = _packed_mask_t(hw, window, shift, wrap)
+    else:
+        mask_np, mask_n = _packed_mask(hw, window, shift, wrap)
+    if mask_n == 1:
+        return np.asarray(mask_np).reshape(1, 1, *mask_np.shape[1:]), True
+    *_, nh, nw = shift_pad_geometry(hw, window, shift)
+    np_w = nw // 2
+    return np.asarray(mask_np).reshape(nh, np_w, *mask_np.shape[1:]), False
+
+
 # ------------------------------------------------------------------- entry point
 
 
@@ -1320,6 +1350,8 @@ def pallas_packed_block_strips(
     drop_rates: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     drop_seed: Optional[jnp.ndarray] = None,
     repart_from: Optional[bool] = None,
+    mask_rows: Optional[jnp.ndarray] = None,
+    mask_shared: bool = False,
 ) -> jnp.ndarray:
     """The fused block directly on the packed strip layout.
 
@@ -1339,6 +1371,15 @@ def pallas_packed_block_strips(
 
     The cross path's kv (the OTHER stream's features) is read from the same packed
     strips through a stream-flipped BlockSpec — no jnp.flip, no second pack.
+
+    ``mask_rows`` (spatial-sharding support, ops/pallas_pack_spmd.py): a traced
+    (nh, nPairsW, *mask_inner) int8 operand REPLACING the statically-derived
+    per-pair masks — ``xp``'s window rows may then be any contiguous row slice of
+    the global geometry, with ``mask_rows`` holding exactly those rows' masks
+    (the caller slices the global mask, or GSPMD slices it when both are sharded
+    operands of a partitioned call). Forward-only: no custom VJP is attached on
+    this path (the spatial fuser is an inference surface), and ``repart_from`` /
+    dropout are unsupported with it.
     """
     s, b, nh, np_w, c, _ = xp.shape
     h, w = hw
@@ -1409,9 +1450,33 @@ def pallas_packed_block_strips(
     else:
         mask_np, mask_n = _packed_mask((h, w), window, shift, wrap)
         bias_p = _packed_bias(bias)
+    mask_per_pair = False
+    if mask_rows is not None:
+        # spatial sharding: xp holds a row slice of the global geometry and the
+        # caller supplies exactly those rows' per-pair masks as a traced operand
+        # ((1, 1, ...) = the geometry's shared mask, replicated). An operand
+        # (not a closure constant) because custom_partitioning forbids consts —
+        # and it is exactly the array GSPMD must slice alongside the strips.
+        assert repart_from is None and not has_drop, (
+            "mask_rows (spatial sharding) is a forward-only inference path"
+        )
+        assert mask_rows.shape[2:] == tuple(mask_np.shape[1:]), (
+            mask_rows.shape, mask_np.shape,
+        )
+        if mask_shared:  # the geometry's single interior mask, replicated
+            assert mask_rows.shape[:2] == (1, 1), mask_rows.shape
+            mask_n = 1
+        else:
+            # per-pair rows — note a 1-row shard of a 1-pair-wide geometry also
+            # has shape (1, 1, ...), hence the explicit flag (shape sniffing
+            # would silently fold a real edge/seam mask away)
+            assert mask_rows.shape[:2] == (nh, np_w), (mask_rows.shape, nh, np_w)
+            mask_n = nh * np_w
+            mask_per_pair = True
+        mask_rows = mask_rows.reshape(mask_n, *mask_rows.shape[2:])
     # all-interior win64 geometries need no mask input at all: the only masking
     # left (pad tokens) is already folded into the bias
-    fold_mask = use_win64 and mask_n == 1
+    fold_mask = use_win64 and mask_n == 1 and not mask_per_pair
     bias_shape = tuple(bias_p.shape[1:])
     mask_inner = tuple(mask_np.shape[1:])
 
@@ -1541,8 +1606,9 @@ def pallas_packed_block_strips(
     def _forward(feats, ln1s, ln1b, wqh, bqh, wkh, bkh, wvh, bvh, wph, bpl,
                  bias_pa, ln2s, ln2b, w1a, b1l, w2a, b2l, *extra):
         # mask materialised inside the closure: a shared jnp constant would leak as a
-        # tracer across the custom_vjp/remat boundary
-        mask_arr = jnp.asarray(mask_np)
+        # tracer across the custom_vjp/remat boundary (mask_rows bypasses custom_vjp
+        # entirely, so capturing the traced operand here is safe)
+        mask_arr = mask_rows if mask_rows is not None else jnp.asarray(mask_np)
         if repart is not None:
             # halo refs are row-granular views of the SAME strips (free reshape);
             # the kv halo is the same view read through the stream-flipped spec
@@ -1801,7 +1867,8 @@ def pallas_packed_block_strips(
     # cross kv = the same strips read through the stream-flipped BlockSpec; the two
     # cotangents are summed into x by autodiff
     feats = (strips, strips) if cross else (strips,)
-    out = core(
+    call = _forward if mask_rows is not None else core  # mask_rows: forward-only
+    out = call(
         feats,
         col(ln1_scale), col(ln1_bias),
         t_w(attn["wq"]), t_b(attn["bq"]),
@@ -2144,6 +2211,7 @@ def _repart_standalone_call(
     taps_np: np.ndarray,
     wrap: bool,
     interpret: bool,
+    taps_arr: Optional[jnp.ndarray] = None,  # traced operand (spmd: no consts)
 ) -> jnp.ndarray:
     s, b, nh, np_w, c, _ = xp.shape
     n = s * b
@@ -2194,7 +2262,7 @@ def _repart_standalone_call(
     )(
         xp.reshape(n * n_tiles, tile, c, LANES),
         xp.reshape(n * nh, np_w, c, LANES),
-        jnp.asarray(taps_np, jnp.float32),
+        jnp.asarray(taps_np, jnp.float32) if taps_arr is None else taps_arr,
     )
     return out.reshape(s, b, nh, np_w, c, LANES)
 
@@ -2262,10 +2330,21 @@ def repartition_packed_auto(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Route a standalone re-partition to the Mosaic kernel where eligible
-    (``REPART_PALLAS=0`` is the profiling kill-switch), else the conv form."""
+    (``REPART_PALLAS=0`` is the profiling kill-switch), else the conv form.
+
+    Under :func:`pallas_pack_spmd.spatial_partitioning` the eligible kernel
+    route goes through its GSPMD-partitionable wrapper (explicit ppermute
+    strip-row halo); the conv fallback needs nothing — GSPMD shards convs
+    with its own halo exchange."""
     if os.environ.get("REPART_PALLAS", "1") != "0" and repart_in_kernel_ok(
         hw, window, from_shift, to_shift
     ):
+        from .pallas_pack_spmd import repartition_packed_spmd, spatial_spmd_active
+
+        if spatial_spmd_active():
+            return repartition_packed_spmd(
+                xp, window, hw, from_shift, to_shift, interpret
+            )
         return repartition_packed_pallas(
             xp, window, hw, from_shift, to_shift, interpret
         )
