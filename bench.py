@@ -151,12 +151,34 @@ def bench_throughput():
 
     pairs_per_sec = batch * chain / best
     baseline = 0.12  # reference PyTorch-CPU 512x512 pairs/s (BASELINE.md)
+
+    # VPU-side floor model (round-4 VERDICT Weak #4): the analytic
+    # minimal-VMEM-traversal floor of the packed block-kernel families, per
+    # stage, next to which the measured kernel wall (profile_trace.py) is
+    # judged — measured/modeled >~1.3x names the next lever; ~1x proves the
+    # "at this design's floor" claim. Constants and pass counts:
+    # utils/flops.py::packed_block_pass_model.
+    floor_fields = {}
+    if impl.startswith("pallas_pack"):
+        from swin_unet_image_fusion_tpu.utils.flops import packed_trunk_floor
+
+        floors = packed_trunk_floor(_model_config(), (hw, hw), batch)
+        floor_fields = {
+            "packed_kernel_floor_ms": {
+                k: round(v["floor_ms"], 1) for k, v in floors.items()
+            },
+            "packed_kernel_floor_total_ms": round(
+                sum(v["floor_ms"] for v in floors.values()), 1
+            ),
+        }
+
     _emit(
         f"fused {hw}x{hw} pairs/sec/chip ({dtype}, {impl}, bs={batch})",
         pairs_per_sec,
         "pairs/s",
         vs_baseline=pairs_per_sec / baseline,
         **_roofline_fields(pairs_per_sec, (hw, hw), dtype),
+        **floor_fields,
     )
 
 

