@@ -1680,7 +1680,11 @@ def pallas_packed_block_strips(
         if use_win64:
             # score-shaped tensors are (heads*TOK, LANES) — half the 128-lane
             # layout's; the (2*ip, hk) block-diagonal operands and their
-            # cotangents are the other residents
+            # cotangents are the other residents. PACK_BWD_BUDGET_SCALE (env)
+            # A/Bs the tile size: the estimate is conservative vs Mosaic's real
+            # buffer reuse, and the backward's finer tiles double its per-step
+            # fixed cost vs the forward (round-5 session; fwd:bwd kernel wall
+            # 10.3:25.3 ms at 224^2 bs=20 stage 0).
             hk = num_heads * TOK
             per_pair = (
                 6 * hk * LANES * 4
@@ -1689,7 +1693,9 @@ def pallas_packed_block_strips(
             )
             if drop_rates[0]:
                 per_pair += 3 * hk * LANES * 4
-            budget = 80 << 20
+            budget = int(
+                (80 << 20) * float(os.environ.get("PACK_BWD_BUDGET_SCALE", "1"))
+            )
         elif FUSED_HEAD_MATMULS:
             lanes_all = num_heads * LANES
             per_pair = (

@@ -162,6 +162,15 @@ class TiledFuser:
     def fuse(self, ir: np.ndarray, vis_y: np.ndarray) -> np.ndarray:
         """ir / vis_y: (H, W, 1), float [0,1] or uint8 [0,255]. Returns fused
         (H, W, 1) float32 (or uint8 with ``return_uint8``)."""
+        return np.asarray(self.fuse_on_device(ir, vis_y))
+
+    def fuse_on_device(self, ir, vis_y):
+        """:meth:`fuse` but returns the DEVICE array — lets callers time device
+        compute separately from the host<->device transfers, which on the
+        relayed TPU runtime swing by seconds run-to-run and otherwise drown the
+        compute signal (docs/BENCHMARKS.md round-5 tiled section). Callers
+        timing this should materialise a scalar (``float(out.sum())``) inside
+        the timed region; inputs may be pre-``device_put`` host arrays."""
         h, w, _ = ir.shape
         t = self.tile
         if h <= t and w <= t:
@@ -173,7 +182,7 @@ class TiledFuser:
             )[0]
             if self.return_uint8:
                 out = jnp.round(out * 255.0).astype(jnp.uint8)
-            return np.asarray(out)
+            return out
 
         ys, xs, th, tw, n_tiles, n_pad = self._plan(h, w)
         extract = self._extract_fn(h, w, ir.dtype)
@@ -204,4 +213,4 @@ class TiledFuser:
         else:
             fused = run_batch(tiles_ir, tiles_vis)[:n_tiles]
 
-        return np.asarray(self._blend_fn(h, w)(fused))
+        return self._blend_fn(h, w)(fused)

@@ -206,6 +206,79 @@ def packed_block_pass_model(
     }
 
 
+def packed_block_bwd_pass_model(
+    c: int,
+    num_heads: int,
+    d: int,
+    mlp_hidden: int,
+    *,
+    cross: bool,
+    masked: bool,
+    dtype_bytes: int = 2,
+) -> Dict[str, float]:
+    """Per-pair model of the packed block BACKWARD kernel (flash-style: full
+    forward recompute + gradients, ops/pallas_pack.py::_packed_block_bwd_body).
+
+    On top of the forward model:
+    - softmax-grad traversals: tmp = sum(p*g_p) (2 reads), g_s = p*(g_p - tmp)
+      (2 reads + 1 write), the shared-bias reduce (1 read) — 6 score passes;
+      the g_p/g_av score tensors are MXU-written;
+    - unbd2 folds x2 (g_k, g_v): one (2ip, hk) read + roll/add into (ip, 128);
+    - gradient MXU matmuls: g_p, g_qbd, g_kbd, g_vbd plus the 8 weight/bias
+      gradient accumulations (gw1/gw2/gwp/gwq/gwk/gwv with C/hd/ip-row shapes);
+    - LN backwards ~ one extra traversal set over the feature strips;
+    - HBM additionally streams the cotangent in and the feature gradient(s) out.
+
+    This is the analytic side of the training-vs-inference MFU gap: at the
+    reference config the modeled bwd/fwd kernel ratio (~2.1x) matches the
+    measured 25.3/10.3 ms stage-0 split within the finer-bwd-tile overhead
+    (docs/BENCHMARKS.md round-5 backward section).
+    """
+    TOK, LANES = 64, 128
+    ip = num_heads * d
+    hk = num_heads * TOK
+    hd = max(32, mlp_hidden)
+    fwd = packed_block_pass_model(
+        c, num_heads, d, mlp_hidden, cross=cross, masked=masked,
+        dtype_bytes=dtype_bytes,
+    )
+
+    feat = c * LANES
+    score = hk * LANES
+    vpu_elems = 0.0
+    vpu_elems += score * 6                       # softmax grad + bias reduce
+    vpu_elems += (2 * ip) * LANES * 4            # g_av_bd build + g_q fold
+    vpu_elems += 2 * ((2 * ip) * hk + 2 * ip * LANES)  # unbd2 folds (g_k, g_v)
+    vpu_elems += feat * 12                       # LN bwds, residual sums, casts
+    vpu_elems += hd * LANES * 3                  # act-grad chain
+    vpu_t = vpu_elems / VPU_ELEMS_PER_CYCLE / TPU_HZ + fwd["vpu_s"]
+
+    mxu_cycles = (
+        _mxu_cycles(hk, 2 * ip, LANES)           # g_p
+        + _mxu_cycles(2 * ip, hk, LANES)         # g_qbd
+        + 2 * _mxu_cycles(2 * ip, LANES, hk)     # g_kbd, g_vbd
+        + _mxu_cycles(ip, LANES, c) * 3          # gwq/gwk/gwv accumulations
+        + _mxu_cycles(c, LANES, ip)              # gwp
+        + _mxu_cycles(c, LANES, hd) + _mxu_cycles(hd, LANES, c)  # gw2, gw1
+        + 2 * _mxu_cycles(ip, c, LANES)          # g_lnx / g_lnkv
+        + _mxu_cycles(c, ip, LANES)              # g_av_all
+        + _mxu_cycles(hd, c, LANES) + _mxu_cycles(c, hd, LANES)  # g_h1, g_lny
+    )
+    mxu_t = mxu_cycles / N_MXU_PIPES / TPU_HZ + fwd["mxu_s"]
+
+    hbm_bytes = feat * dtype_bytes * (3 + (2 if cross else 0))  # x, kv, g in; gx (+gkv) out
+    if masked:
+        hbm_bytes += TOK * LANES
+    hbm_t = hbm_bytes / HBM_BYTES_PER_SEC
+
+    return {
+        "vpu_s": vpu_t,
+        "mxu_s": mxu_t,
+        "hbm_s": hbm_t,
+        "floor_s": max(vpu_t, mxu_t, hbm_t),
+    }
+
+
 def packed_trunk_floor(
     cfg: ModelConfig, hw: Tuple[int, int], batch: int
 ) -> Dict[str, dict]:
