@@ -49,11 +49,10 @@ def _params(rng, c, heads, d):
 
 # (56, 28): wrap-roll shifted geometry (224^2-class); (49, 49): pad-mode shifted
 # geometry (512^2-class — equal grids, so the repartition stays eligible and the
-# halo is edge-zeroed instead of ring-wrapped; slow tier: the fast tier keeps
-# one full geometry + the seam regression under its ~12 min budget)
-@pytest.mark.parametrize(
-    "hw", [(56, 28), pytest.param((49, 49), marks=pytest.mark.slow)]
-)
+# halo is edge-zeroed instead of ring-wrapped). Slow tier: the fast tier keeps
+# the seam-mask regression + one ppermute-halo repartition under its budget.
+@pytest.mark.slow
+@pytest.mark.parametrize("hw", [(56, 28), (49, 49)])
 @pytest.mark.parametrize("shift,cross", [(True, False), (False, True)])
 def test_partitioned_block_matches_single_device(rng, hw, shift, cross):
     c, heads, d = 8, 2, 4
@@ -92,8 +91,10 @@ def test_partitioned_block_one_pair_shard_keeps_seam_mask(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-@pytest.mark.parametrize("hw", [(56, 28), (49, 49)])
-@pytest.mark.parametrize("from_shift", [False, True])
+@pytest.mark.parametrize(
+    "hw", [(56, 28), pytest.param((49, 49), marks=pytest.mark.slow)]
+)
+@pytest.mark.parametrize("from_shift", [pytest.param(False, marks=pytest.mark.slow), True])
 def test_partitioned_repartition_ppermute_halo(rng, hw, from_shift):
     """The one-strip-row halo rides an explicit ppermute: ring in wrap mode
     (the reference's global-image roll across shards), edge-zeroed in pad."""
@@ -136,6 +137,7 @@ def _fuse_and_compare(rng, hw, atol):
     assert sharded, "no kernel lowering was actually row-sharded"
 
 
+@pytest.mark.slow
 def test_spatial_sharded_packed_forward(rng):
     # stage-0 strips (56, 14) shard 8 ways; stage 1 (28, 14) exercises the
     # replicated per-kernel fallback (nh=4 does not divide the mesh)
