@@ -115,3 +115,33 @@ def test_run_test_end_to_end(tmp_path, rng):
     run_test(cfg)
     outs = sorted(os.listdir(tmp_path / "output"))
     assert outs == ["pic0_MKX_SELF.jpg", "pic1_MKX_SELF.jpg"]  # a017_test.py:112 naming
+
+
+def test_serving_bucket_set_covers_documented_shapes():
+    """tools/warm_cache.py's SERVING_BUCKETS must be exactly where
+    Fuser(bucket=64) sends the documented common sizes — otherwise the
+    one-command precompile warms the wrong programs."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from warm_cache import SERVING_BUCKETS
+
+    from swin_unet_image_fusion_tpu.ops.shape_plan import pad_amount
+
+    def bucket_of(h, w, n=64):
+        return (h + pad_amount(h, n), w + pad_amount(w, n))
+
+    cases = {
+        (256, 256): (256, 256),
+        (512, 512): (512, 512),
+        (480, 640): (512, 640),
+        (450, 620): (512, 640),
+        (460, 600): (512, 640),
+        (768, 1024): (768, 1024),
+        (1024, 1024): (1024, 1024),
+    }
+    for size, want in cases.items():
+        got = bucket_of(*size)
+        assert got == want, (size, got, want)
+        assert want in SERVING_BUCKETS, (size, want)
