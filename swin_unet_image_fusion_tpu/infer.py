@@ -37,10 +37,31 @@ class Fuser:
     not bit-identical to exact-shape mode there; bucket=0 (default) is parity mode.
     """
 
-    def __init__(self, cfg: Config, params, batch_stats, bucket: int = 0):
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        batch_stats,
+        bucket: int = 0,
+        deep_jnp_max_tokens: Optional[int] = None,
+    ):
+        """``deep_jnp_max_tokens`` overrides ``cfg.model.attention_jnp_max_tokens``
+        for this serving engine: at bs=1 latency is op-count-bound (half the wall
+        is inter-op overhead, docs/BENCHMARKS.md round-5 serving anatomy), and
+        routing tiny deep maps to the jnp composition cuts ops — 256 measured
+        best on one v5e chip (256²: 5.98 → 5.75 ms/pair; 480×640: 15.41 → 15.13;
+        1024 regresses). Opt-in (None = config parity) so precompiled caches and
+        batch-throughput parity stay untouched."""
         self.cfg = cfg
         self.bucket = bucket
-        self.model = SwinFusionUNet(cfg.model)
+        model_cfg = cfg.model
+        if deep_jnp_max_tokens is not None:
+            from dataclasses import replace
+
+            model_cfg = replace(
+                model_cfg, attention_jnp_max_tokens=deep_jnp_max_tokens
+            )
+        self.model = SwinFusionUNet(model_cfg)
         self.variables = {"params": params, "batch_stats": batch_stats}
         self._forward = jax.jit(
             lambda variables, ir, vis: jnp.clip(
