@@ -161,3 +161,12 @@ def test_spatial_fuser_rejects_nhwc_impls(rng):
     model = SwinFusionUNet(cfg)
     with pytest.raises(ValueError, match="opaque to GSPMD"):
         SpatialFuser(model, {}, mesh=spatial_mesh(8))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("hw", [(63, 70), (84, 56), (126, 98)])
+def test_spatial_sharded_awkward_geometries(rng, hw):
+    """Awkward maps: odd window columns (dummy pair slots), strip-row counts
+    that do or don't divide the mesh (per-kernel replicated fallback), and
+    uneven H-shards — the sharded forward must match single-device on all."""
+    _fuse_and_compare(rng, hw, atol=5e-5)
