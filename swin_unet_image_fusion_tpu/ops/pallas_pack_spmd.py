@@ -45,7 +45,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.custom_partitioning import custom_partitioning
+from jax._src.custom_partitioning_sharding_rule import ArrayMapping
+from jax.experimental.custom_partitioning import SdyShardingRule, custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import pallas_pack as pp
@@ -64,15 +65,51 @@ def spatial_spmd_active() -> bool:
     return getattr(_STATE, "active", False)
 
 
+def _spatial_mesh_axis():
+    return getattr(_STATE, "mesh", None), getattr(_STATE, "axis", None)
+
+
 @contextmanager
-def spatial_partitioning():
-    """Activate the partitionable-kernel routing for code traced inside."""
-    prev = spatial_spmd_active()
+def spatial_partitioning(mesh=None, axis_name: str = "space"):
+    """Activate the partitionable-kernel routing for code traced inside.
+
+    Passing the mesh lets the wrappers pin each partitioned call's operands to
+    a CLEAN sharding (full row shard when the row count divides the mesh, else
+    replicated) via with_sharding_constraint — without it, GSPMD may hand the
+    partition callback a PARTIAL sharding left over from a producer reshape
+    (e.g. 2-of-8 rows) that jax's conversion layer cannot express and crashes
+    on (tests/test_spatial_spmd.py awkward geometries)."""
+    prev = (spatial_spmd_active(), *_spatial_mesh_axis())
     _STATE.active = True
+    _STATE.mesh = mesh
+    _STATE.axis = axis_name if mesh is not None else None
     try:
         yield
     finally:
-        _STATE.active = prev
+        _STATE.active, _STATE.mesh, _STATE.axis = prev
+
+
+def _pin_clean_row_sharding(xp, extras_with_row=()):
+    """Constrain strips (and row-carrying extras) to full-row-shard-or-replicated
+    under the active spatial mesh; no-op when no mesh rides the context."""
+    mesh, axis = _spatial_mesh_axis()
+    if mesh is None or mesh.shape[axis] <= 1:
+        # a 1-device mesh cannot produce partial shardings, and skipping the
+        # constraints keeps the program structurally identical to the plain
+        # jit (bit-exact on-chip check, docs/BENCHMARKS.md)
+        return xp, tuple(extras_with_row)
+    size = mesh.shape[axis]
+    row = axis if xp.shape[2] % size == 0 else None
+    xp = jax.lax.with_sharding_constraint(
+        xp, NamedSharding(mesh, P(None, None, row, None, None, None))
+    )
+    pinned = tuple(
+        jax.lax.with_sharding_constraint(
+            e, NamedSharding(mesh, P(row, *([None] * (e.ndim - 1))))
+        )
+        for e in extras_with_row
+    )
+    return xp, pinned
 
 
 def _row_from_spec(sharding, axis: int):
@@ -87,6 +124,55 @@ def _fresh_factors(shape, names):
     return " ".join(next(names) for _ in shape)
 
 
+def _row_shardable(nh: int) -> bool:
+    """Whether the strips' row dim may be advertised to shardy as shardable.
+
+    Shardy will happily propose a PARTIAL sharding (e.g. 2-of-8 with the rest
+    replicated) when a dim shares only a factor with the mesh size — and jax's
+    custom_partitioning conversion layer crashes on such op-shardings BEFORE
+    the partition callback can fall back (ValueError: dim_size not divisible
+    by axis_size; caught by tests/test_spatial_spmd.py awkward geometries).
+    Defence: every factor of these rules except an eligible row factor is a
+    need_replication factor, and the row factor itself is only open when nh
+    divides every supported mesh size (powers of two up to 8 — the v5e-8
+    target); anything else lowers replicated for that kernel only. The
+    wrappers additionally pin operands to a clean full-shard-or-replicated
+    sharding up front (:func:`_pin_clean_row_sharding`)."""
+    return nh % 8 == 0
+
+
+def _row_ok_for(nh: int) -> bool:
+    """Mesh-aware row-shardability: exact divisibility when the active mesh is
+    known (via the spatial_partitioning context), heuristic otherwise."""
+    mesh, axis = _spatial_mesh_axis()
+    if mesh is not None:
+        size = mesh.shape[axis]
+        return size > 1 and nh % size == 0
+    return _row_shardable(nh)
+
+
+def _strips_rule(n_extra_operands: int, extra_ranks, row_ok: bool,
+                 mask_shares_row: bool = False) -> SdyShardingRule:
+    """Sharding rule for (strips, *extras) -> strips: the row factor "r" is the
+    only open (propagatable) factor; everything else needs replication."""
+    names = (f"z{i}" for i in itertools.count())
+    xp_dims = ("s", "b", "r" if row_ok else "r0", "p", "c", "l")
+    mappings = [ArrayMapping(*xp_dims)]
+    order: list = list(xp_dims)  # factor-appearance order (special-factor lists
+    # must be sorted by factor INDEX, i.e. first appearance, not by name)
+    for i, rk in enumerate(extra_ranks):
+        if i == 0 and mask_shares_row and row_ok:
+            dims = ("r", "p") + tuple(next(names) for _ in range(rk - 2))
+        else:
+            dims = tuple(next(names) for _ in range(rk))
+        mappings.append(ArrayMapping(*dims))
+        order.extend(d for d in dims if d not in order)
+    return SdyShardingRule(
+        tuple(mappings), (ArrayMapping(*xp_dims),),
+        need_replication_factors=tuple(d for d in order if d != "r"),
+    )
+
+
 # --------------------------------------------------------------- block kernel
 
 
@@ -96,7 +182,7 @@ _BLOCK_PARAM_KEYS = ("wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp")
 @functools.lru_cache(maxsize=None)
 def _block_partitioner(key):
     (hw, window, shift, cross, num_heads, dims_per_head, activation,
-     interpret, mask_shared, n_params) = key
+     interpret, mask_shared, n_params, row_ok) = key
 
     def fn(xp, mask, *params):
         attn = dict(zip(_BLOCK_PARAM_KEYS, params[2:10]))
@@ -135,7 +221,9 @@ def _block_partitioner(key):
     def partition(mesh, arg_shapes, result_shape):
         row = _row_from_spec(arg_shapes[0].sharding, 2)
         nh = arg_shapes[0].shape[2]
-        if row is not None and (mesh.shape[row] <= 1 or nh % mesh.shape[row]):
+        if row is not None and (
+            not row_ok or mesh.shape[row] <= 1 or nh % mesh.shape[row]
+        ):
             row = None  # replicated fallback: still exact, just unscaled
         LAST_PARTITIONS.append(("block", hw, shift, row is not None))
         xp_s = NamedSharding(mesh, P(None, None, row, None, None, None))
@@ -147,19 +235,15 @@ def _block_partitioner(key):
         return mesh, fn, xp_s, tuple(arg_s)
 
     # shardy propagation rule: a per-pair mask shares the strips' row factor r
-    # (so row sharding propagates to the masks); a shared (1, 1, ...) mask gets
-    # fresh factors (its leading dims are 1). Every param dim gets a fresh
-    # factor. Param ranks are fixed by the kernel signature:
-    # (2, 2) LN1, (3, 2) x4 qkvp, 3 bias, (2, 2) LN2, (3, 2) x2 MLP.
-    names = (f"z{i}" for i in itertools.count())
+    # (so row sharding propagates to the masks); a shared (1, 1, ...) mask and
+    # every param dim are need_replication factors. Param ranks are fixed by
+    # the kernel signature: (2, 2) LN1, (3, 2) x4 qkvp, 3 bias, (2, 2) LN2,
+    # (3, 2) x2 MLP.
     param_ranks = (2, 2) + (3, 2) * 4 + (3,) + (2, 2) + (3, 2) * 2
-    terms = ["s b r p c l"]
-    if mask_shared:
-        terms.append(_fresh_factors(range(4), names))
-    else:
-        terms.append("r p " + _fresh_factors(range(2), names))
-    terms += [_fresh_factors(range(rk), names) for rk in param_ranks]
-    rule = ", ".join(terms) + " -> s b r p c l"
+    rule = _strips_rule(
+        1 + len(param_ranks), (4,) + param_ranks, row_ok,
+        mask_shares_row=not mask_shared,
+    )
 
     f.def_partition(
         infer_sharding_from_operands=infer,
@@ -197,12 +281,17 @@ def pallas_packed_block_strips_spmd(
         *(attn[k] for k in _BLOCK_PARAM_KEYS),
         bias, ln2_scale, ln2_bias, w1, b1, w2, b2,
     )
+    mask_arr = jnp.asarray(mask_np)
+    if mask_shared:
+        xp, _ = _pin_clean_row_sharding(xp)
+    else:
+        xp, (mask_arr,) = _pin_clean_row_sharding(xp, (mask_arr,))
     key = (
         tuple(hw), tuple(window), bool(shift), bool(cross), int(num_heads),
         int(dims_per_head), str(activation), bool(interpret),
-        mask_shared, len(params),
+        mask_shared, len(params), _row_ok_for(xp.shape[2]),
     )
-    return _block_partitioner(key)(xp, jnp.asarray(mask_np), *params)
+    return _block_partitioner(key)(xp, mask_arr, *params)
 
 
 # --------------------------------------------------------- repartition kernel
@@ -210,7 +299,7 @@ def pallas_packed_block_strips_spmd(
 
 @functools.lru_cache(maxsize=None)
 def _repart_partitioner(key):
-    window, hw, from_shift, to_shift, interpret = key
+    window, hw, from_shift, to_shift, interpret, row_ok = key
     tap_list, dr_side, dj_side, taps_np = pp._repart_tap_info(
         window, from_shift, to_shift
     )
@@ -234,7 +323,7 @@ def _repart_partitioner(key):
         row = _row_from_spec(arg_shapes[0].sharding, 2)
         nh = arg_shapes[0].shape[2]
         size = mesh.shape[row] if row is not None else 1
-        if row is not None and (size <= 1 or nh % size):
+        if row is not None and (not row_ok or size <= 1 or nh % size):
             row = None
         LAST_PARTITIONS.append(("repart", hw, (from_shift, to_shift), row is not None))
         xp_s = NamedSharding(mesh, P(None, None, row, None, None, None))
@@ -287,7 +376,7 @@ def _repart_partitioner(key):
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
-        sharding_rule="s b r p c l, t u v -> s b r p c l",
+        sharding_rule=_strips_rule(1, (3,), row_ok),
     )
     return f
 
@@ -305,7 +394,8 @@ def repartition_packed_spmd(
     assert pp.repart_in_kernel_ok(hw, window, from_shift, to_shift), (
         hw, window, from_shift, to_shift,
     )
+    xp, _ = _pin_clean_row_sharding(xp)
     key = (tuple(window), tuple(hw), bool(from_shift), bool(to_shift),
-           bool(interpret))
+           bool(interpret), _row_ok_for(xp.shape[2]))
     *_, taps_np = pp._repart_tap_info(window, from_shift, to_shift)
     return _repart_partitioner(key)(xp, jnp.asarray(taps_np, jnp.float32))

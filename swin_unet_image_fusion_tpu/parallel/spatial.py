@@ -79,11 +79,14 @@ class SpatialFuser:
         self.sharding = height_sharding(self.mesh, axis_name)
         self.variables = jax.device_put(variables, NamedSharding(self.mesh, P()))
 
+        mesh_for_ctx = self.mesh
+
         def fwd(v, a, b):
             # the context flag routes packed-kernel calls through their
             # GSPMD-partitionable wrappers during tracing (jit traces lazily, so
-            # the `with` is inside the traced fn and active exactly then)
-            with spatial_partitioning():
+            # the `with` is inside the traced fn and active exactly then);
+            # the mesh lets the wrappers pin clean row shardings up front
+            with spatial_partitioning(mesh_for_ctx, axis_name):
                 return jnp.clip(model.apply(v, a, b, train=False), 0.0, 1.0)
 
         self._forward = jax.jit(fwd, out_shardings=self.sharding)
