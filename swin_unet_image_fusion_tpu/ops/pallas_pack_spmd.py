@@ -120,10 +120,6 @@ def _row_from_spec(sharding, axis: int):
     return spec[axis]
 
 
-def _fresh_factors(shape, names):
-    return " ".join(next(names) for _ in shape)
-
-
 def _row_shardable(nh: int) -> bool:
     """Whether the strips' row dim may be advertised to shardy as shardable.
 
@@ -151,7 +147,7 @@ def _row_ok_for(nh: int) -> bool:
     return _row_shardable(nh)
 
 
-def _strips_rule(n_extra_operands: int, extra_ranks, row_ok: bool,
+def _strips_rule(extra_ranks, row_ok: bool,
                  mask_shares_row: bool = False) -> SdyShardingRule:
     """Sharding rule for (strips, *extras) -> strips: the row factor "r" is the
     only open (propagatable) factor; everything else needs replication."""
@@ -241,8 +237,7 @@ def _block_partitioner(key):
     # (3, 2) x2 MLP.
     param_ranks = (2, 2) + (3, 2) * 4 + (3,) + (2, 2) + (3, 2) * 2
     rule = _strips_rule(
-        1 + len(param_ranks), (4,) + param_ranks, row_ok,
-        mask_shares_row=not mask_shared,
+        (4,) + param_ranks, row_ok, mask_shares_row=not mask_shared
     )
 
     f.def_partition(
@@ -376,7 +371,7 @@ def _repart_partitioner(key):
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
-        sharding_rule=_strips_rule(1, (3,), row_ok),
+        sharding_rule=_strips_rule((3,), row_ok),
     )
     return f
 
